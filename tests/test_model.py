@@ -1,0 +1,159 @@
+"""Model graph tests: parse, param-count parity vs reference, output shapes, decode."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolov3_tpu.models.detect_head import decode_predictions, make_grid
+from yolov3_tpu.models.detection import DetectionModel
+from yolov3_tpu.models.spec import parse_spec
+
+# Param counts measured by instantiating the reference torch Model on each YAML
+# (SURVEY.md §2.1): yolov3 61,949,149 / spp 63,011,165(≈63.00M) / tiny 8,852,366(≈8.85M).
+REF_COUNTS = {"yolov3": 61.95e6, "yolov3-spp": 63.00e6, "yolov3-tiny": 8.85e6}
+REF_STRIDES = {"yolov3": (8, 16, 32), "yolov3-spp": (8, 16, 32), "yolov3-tiny": (16, 32)}
+
+
+@pytest.mark.parametrize("name", ["yolov3-tiny", "yolov3", "yolov3-spp"])
+def test_spec_parses(name):
+    spec = parse_spec(name)
+    assert spec.nc == 80
+    assert spec.strides == REF_STRIDES[name]
+    assert spec.na == 3
+
+
+def test_yolov3_save_list():
+    # reference parse_model computes save [6, 8, 14, 15, 21, 22, 27] (SURVEY §2.1)
+    spec = parse_spec("yolov3")
+    assert set(spec.save) == {6, 8, 14, 15, 21, 22, 27}
+    spec_t = parse_spec("yolov3-tiny")
+    assert set(spec_t.save) == {8, 14, 15, 19}
+
+
+@pytest.mark.parametrize("name", ["yolov3-tiny", "yolov3", "yolov3-spp"])
+def test_param_count_parity(name):
+    model = DetectionModel.from_config(name, imgsz=64)
+    n = model.num_params()
+    ref = REF_COUNTS[name]
+    assert abs(n - ref) / ref < 0.001, f"{name}: {n} params vs reference {ref}"
+
+
+def test_tiny_forward_shapes():
+    model = DetectionModel.from_config("yolov3-tiny", imgsz=64)
+    x = jnp.zeros((1, 320, 320, 3))
+    feats = model(x, train=False)
+    assert len(feats) == 2
+    assert feats[0].shape == (1, 3, 20, 20, 85)  # P4/16
+    assert feats[1].shape == (1, 3, 10, 10, 85)  # P5/32
+    decoded = decode_predictions(feats, model.anchors_px, model.spec.strides)
+    assert decoded.shape == (1, 3 * (20 * 20 + 10 * 10), 85)
+
+
+@pytest.mark.slow
+def test_yolov3_inference_tensor_shape_parity():
+    # (1, 25200, 85) at 640 (SURVEY §2.1)
+    model = DetectionModel.from_config("yolov3", imgsz=64)
+    x = jnp.zeros((1, 640, 640, 3))
+    feats = model(x, train=False)
+    decoded = decode_predictions(feats, model.anchors_px, model.spec.strides)
+    assert decoded.shape == (1, 25200, 85)
+
+
+def test_grid_offset():
+    g = np.asarray(make_grid(2, 3))
+    assert g.shape == (1, 1, 2, 3, 2)
+    # cell (0,0) -> (-0.5, -0.5); cell (y=1, x=2) -> (1.5, 0.5)
+    np.testing.assert_allclose(g[0, 0, 0, 0], [-0.5, -0.5])
+    np.testing.assert_allclose(g[0, 0, 1, 2], [1.5, 0.5])
+
+
+def test_decode_math():
+    """Hand-check the decode: sigmoid(0)=0.5 => xy = (0.5*2 - 0.5 + cell)*stride, wh = anchor."""
+    bs, na, ny, nx, nc = 1, 1, 2, 2, 1
+    feats = [jnp.zeros((bs, na, ny, nx, nc + 5))]
+    anchors = np.array([[[10.0, 20.0]]])  # (nl=1, na=1, 2)
+    decoded = np.asarray(decode_predictions(feats, anchors, (8,)))
+    assert decoded.shape == (1, 4, 6)
+    # first cell (y=0,x=0): xy = (1.0 - 0.5 + 0)*8 = 4.0
+    np.testing.assert_allclose(decoded[0, 0, :2], [4.0, 4.0], atol=1e-5)
+    # wh = (0.5*2)^2 * anchor = anchor
+    np.testing.assert_allclose(decoded[0, 0, 2:4], [10.0, 20.0], atol=1e-5)
+    # obj/cls = sigmoid(0) = 0.5
+    np.testing.assert_allclose(decoded[0, 0, 4:], [0.5, 0.5], atol=1e-6)
+    # cell (y=0, x=1): x = (0.5 + 1)*8 = 12
+    np.testing.assert_allclose(decoded[0, 1, :2], [12.0, 4.0], atol=1e-5)
+
+
+def test_detect_bias_priors():
+    """Detect conv biases carry the obj/cls priors (reference yolo.py:282-292)."""
+    import math
+
+    model = DetectionModel.from_config("yolov3-tiny", imgsz=64)
+    det = model.variables["params"]["l20"]
+    b0 = np.asarray(det["m0"]["bias"]).reshape(3, 85)
+    s = model.spec.strides[0]
+    np.testing.assert_allclose(b0[:, 4], math.log(8 / (640 / s) ** 2), atol=1e-5)
+    np.testing.assert_allclose(b0[:, 5], math.log(0.6 / (80 - 0.99999)), atol=1e-5)
+
+
+def test_train_mode_updates_batch_stats():
+    model = DetectionModel.from_config("yolov3-tiny", imgsz=64)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    feats, mutated = model(x, train=True)
+    assert "batch_stats" in mutated
+    old = model.variables["batch_stats"]["l0"]["bn"]["mean"]
+    new = mutated["batch_stats"]["l0"]["bn"]["mean"]
+    assert not np.allclose(np.asarray(old), np.asarray(new))
+
+
+def test_reference_format_yaml_loads(tmp_path):
+    """The parser accepts reference-style backbone/head YAMLs unchanged."""
+    ref_style = {
+        "nc": 2,
+        "depth_multiple": 1.0,
+        "width_multiple": 1.0,
+        "anchors": [[10, 14, 23, 27, 37, 58], [81, 82, 135, 169, 344, 319]],
+        "backbone": [
+            [-1, 1, "Conv", [16, 3, 1]],
+            [-1, 1, "nn.MaxPool2d", [2, 2, 0]],
+            [-1, 1, "Conv", [32, 3, 2]],
+            [-1, 1, "Conv", [64, 3, 2]],
+            [-1, 1, "Conv", [128, 3, 2]],
+            [-1, 1, "Conv", [256, 3, 2]],
+        ],
+        "head": [
+            [-1, 1, "Conv", [128, 1, 1]],
+            [-1, 1, "nn.Upsample", ["None", 2, "nearest"]],
+            [[-1, 4], 1, "Concat", [1]],
+            [-1, 1, "Conv", [128, 3, 1]],
+            [[9, 5], 1, "Detect", ["nc", "anchors"]],
+        ],
+    }
+    spec = parse_spec(ref_style)
+    assert spec.nc == 2
+    assert spec.strides == (16, 32)
+    model = DetectionModel.from_config(ref_style, imgsz=64)
+    feats = model(jnp.zeros((1, 64, 64, 3)))
+    assert feats[0].shape == (1, 3, 4, 4, 7)
+
+
+def test_width_depth_multiples():
+    cfg = {
+        "nc": 80,
+        "depth_multiple": 0.33,
+        "width_multiple": 0.5,
+        "anchors": [[10, 14, 23, 27, 37, 58], [81, 82, 135, 169, 344, 319]],
+        "layers": [
+            {"from": -1, "n": 1, "op": "Conv", "args": [64, 3, 2]},
+            {"from": -1, "n": 1, "op": "Conv", "args": [128, 3, 2]},
+            {"from": -1, "n": 9, "op": "Bottleneck", "args": [128]},
+            {"from": -1, "n": 1, "op": "Conv", "args": [256, 3, 2]},
+            {"from": -1, "n": 1, "op": "Conv", "args": [256, 3, 2]},
+            {"from": -1, "n": 1, "op": "Conv", "args": [256, 3, 1]},
+            {"from": [3, 5], "n": 1, "op": "Detect", "args": ["nc", "anchors"]},
+        ],
+    }
+    spec = parse_spec(cfg)
+    assert spec.layers[0].c2 == 32  # 64 * 0.5
+    assert spec.layers[2].n == 3  # round(9 * 0.33)

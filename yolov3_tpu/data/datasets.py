@@ -1,0 +1,356 @@
+"""Dataset + dataloader: host-side pipeline feeding fixed-shape TPU batches.
+
+Re-design of the reference data layer (reference utils/dataloaders.py:432-858)
+with one structural change: batches are **static-shape** — images come out as
+(B, H, W, 3) uint8 with H, W fixed per bucket, and labels as a padded
+(B, M, 5) float32 [cls, xywhn] plus a (B, M) bool mask, so the jitted train
+step never recompiles. The reference's dynamic concat-collate
+(dataloaders.py:824-830) is a torch convention that would force XLA
+recompilation every step.
+
+Kept semantics:
+ - image/label discovery: images from dirs/txt lists, labels via the
+   images->labels path substitution (ultralytics img2label_paths);
+ - label .cache (npz) keyed by a hash of paths+sizes (dataloaders.py:489-495);
+ - label verification: class bounds, normalized coords, dedup
+   (dataloaders.py:864-912);
+ - mosaic -> mixup -> HSV -> flips augmentation chain (dataloaders.py:659-735);
+ - rect mode: aspect-ratio-sorted per-batch shapes ceil'd to stride multiples
+   with pad margin (dataloaders.py:547-570) — here additionally snapped to a
+   bounded set of shape buckets to cap XLA recompiles.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import random
+import threading
+from pathlib import Path
+
+import cv2
+import numpy as np
+
+from yolov3_tpu.data.augment import augment_hsv, letterbox, mixup, mosaic4
+from yolov3_tpu.utils.general import LOGGER, NUM_THREADS
+from yolov3_tpu.ops.boxes import xywhn2xyxy, xyxy2xywhn
+
+IMG_FORMATS = ("bmp", "dng", "jpeg", "jpg", "mpo", "png", "tif", "tiff", "webp", "pfm")
+CACHE_VERSION = "yolov3_tpu-cache-v1"
+
+
+def img2label_paths(img_paths):
+    """images/xxx.jpg -> labels/xxx.txt (reference convention)."""
+    sa, sb = f"{os.sep}images{os.sep}", f"{os.sep}labels{os.sep}"
+    return [sb.join(x.rsplit(sa, 1)).rsplit(".", 1)[0] + ".txt" for x in img_paths]
+
+
+def list_images(path):
+    """Expand a dir / txt-list / glob into a sorted list of image files."""
+    files = []
+    for p in path if isinstance(path, list) else [path]:
+        p = Path(p)
+        if p.is_dir():
+            files += [str(f) for f in sorted(p.rglob("*.*"))]
+        elif p.is_file() and p.suffix == ".txt":
+            parent = str(p.parent) + os.sep
+            with open(p) as f:
+                lines = f.read().strip().splitlines()
+            files += [x.replace("./", parent, 1) if x.startswith("./") else x for x in lines]
+        elif p.is_file():
+            files.append(str(p))
+        else:
+            import glob as _glob
+
+            files += sorted(_glob.glob(str(p), recursive=True))
+    files = [x for x in files if x.rsplit(".", 1)[-1].lower() in IMG_FORMATS]
+    assert files, f"No images found in {path}"
+    return files
+
+
+def _paths_hash(paths):
+    h = hashlib.sha256()
+    for p in paths:
+        h.update(p.encode())
+        try:
+            h.update(str(os.path.getsize(p)).encode())
+        except OSError:
+            pass
+    return h.hexdigest()
+
+
+def verify_image_label(im_file, lb_file, num_cls):
+    """Validate one image/label pair; returns (labels (n,5), shape (w,h), msg|None)."""
+    try:
+        from PIL import Image
+
+        im = Image.open(im_file)
+        im.verify()
+        shape = im.size  # (w, h)
+        assert (shape[0] > 9) and (shape[1] > 9), f"image size {shape} <10 pixels"
+        if os.path.isfile(lb_file):
+            with open(lb_file) as f:
+                lb = [x.split() for x in f.read().strip().splitlines() if len(x)]
+                if any(len(x) > 6 for x in lb):  # segments -> boxes
+                    classes = np.array([x[0] for x in lb], dtype=np.float32)
+                    segs = [np.array(x[1:], dtype=np.float32).reshape(-1, 2) for x in lb]
+                    boxes = np.array(
+                        [[s[:, 0].min(), s[:, 1].min(), s[:, 0].max(), s[:, 1].max()] for s in segs],
+                        dtype=np.float32,
+                    )
+                    cxy = (boxes[:, :2] + boxes[:, 2:]) / 2
+                    wh = boxes[:, 2:] - boxes[:, :2]
+                    lb = np.concatenate([classes[:, None], cxy, wh], 1)
+                else:
+                    lb = np.array(lb, dtype=np.float32)
+            if len(lb):
+                assert lb.shape[1] == 5, f"labels require 5 columns, {lb.shape[1]} given"
+                assert (lb >= 0).all(), "negative label values"
+                assert (lb[:, 1:] <= 1).all(), "non-normalized coordinates"
+                assert (lb[:, 0] < num_cls).all(), "class id out of range"
+                _, idx = np.unique(lb, axis=0, return_index=True)
+                if len(idx) < len(lb):
+                    lb = lb[np.sort(idx)]
+            else:
+                lb = np.zeros((0, 5), dtype=np.float32)
+        else:
+            lb = np.zeros((0, 5), dtype=np.float32)
+        return lb, shape, None
+    except Exception as e:  # noqa: BLE001
+        return None, None, f"ignoring corrupt image/label {im_file}: {e}"
+
+
+class DetectionDataset:
+    """Images + labels with mosaic/augment pipeline producing fixed-shape samples."""
+
+    def __init__(
+        self,
+        path,
+        imgsz=640,
+        augment=False,
+        hyp=None,
+        rect=False,
+        stride=32,
+        pad=0.0,
+        batch_size=16,
+        num_cls=80,
+        max_labels=300,
+        cache_dir=None,
+        single_cls=False,
+    ):
+        self.imgsz = imgsz
+        self.augment = augment
+        self.hyp = hyp or {}
+        self.rect = rect
+        self.stride = stride
+        self.pad = pad
+        self.max_labels = max_labels
+        self.mosaic = augment and not rect and self.hyp.get("mosaic", 0) > 0
+        self.mosaic_border = [-imgsz // 2, -imgsz // 2]
+
+        self.im_files = list_images(path)
+        self.label_files = img2label_paths(self.im_files)
+        cache_path = Path(cache_dir or Path(self.label_files[0]).parent).with_suffix(".cache.npz")
+        labels, shapes = self._load_or_build_cache(cache_path, num_cls)
+        self.labels = labels
+        if single_cls:
+            for lb in self.labels:
+                if len(lb):
+                    lb[:, 0] = 0
+        self.shapes = np.array(shapes, dtype=np.float64)  # (n, 2) wh
+        n = len(self.im_files)
+        self.indices = np.arange(n)
+
+        if rect:  # aspect-ratio sort + per-batch shapes (reference dataloaders.py:547-570)
+            bi = np.floor(np.arange(n) / batch_size).astype(int)
+            nb = bi[-1] + 1
+            ar = self.shapes[:, 1] / self.shapes[:, 0]  # h/w
+            irect = ar.argsort()
+            self.im_files = [self.im_files[i] for i in irect]
+            self.label_files = [self.label_files[i] for i in irect]
+            self.labels = [self.labels[i] for i in irect]
+            self.shapes = self.shapes[irect]
+            ar = ar[irect]
+            shapes_out = [[1, 1]] * nb
+            for b in range(nb):
+                ari = ar[bi == b]
+                mini, maxi = ari.min(), ari.max()
+                if maxi < 1:
+                    shapes_out[b] = [maxi, 1]
+                elif mini > 1:
+                    shapes_out[b] = [1, 1 / mini]
+            self.batch_shapes = (
+                np.ceil(np.array(shapes_out) * imgsz / stride + pad).astype(int) * stride
+            )
+            self.batch_index = bi
+
+    def _load_or_build_cache(self, cache_path, num_cls):
+        key = _paths_hash(self.im_files + self.label_files)
+        if cache_path.is_file():
+            try:
+                z = np.load(cache_path, allow_pickle=True)
+                if str(z["version"]) == CACHE_VERSION and str(z["hash"]) == key:
+                    return list(z["labels"]), z["shapes"]
+            except Exception:  # noqa: BLE001
+                pass
+        labels, shapes, keep, msgs = [], [], [], []
+        for im_f, lb_f in zip(self.im_files, self.label_files):
+            lb, shape, msg = verify_image_label(im_f, lb_f, num_cls)
+            if msg:
+                msgs.append(msg)
+                continue
+            labels.append(lb)
+            shapes.append(shape)
+            keep.append(im_f)
+        if msgs:
+            LOGGER.warning("\n".join(msgs[:10]) + (f"\n... {len(msgs)} total" if len(msgs) > 10 else ""))
+        self.im_files = keep
+        self.label_files = img2label_paths(keep)
+        try:
+            np.savez(
+                cache_path.with_suffix(""),
+                version=CACHE_VERSION,
+                hash=key,
+                labels=np.array(labels, dtype=object),
+                shapes=np.array(shapes, dtype=np.float64),
+            )
+        except OSError as e:
+            LOGGER.warning(f"cache not saved to {cache_path}: {e}")
+        return labels, np.array(shapes, dtype=np.float64)
+
+    def __len__(self):
+        return len(self.im_files)
+
+    def load_image(self, i):
+        """Load + pre-resize so the long side is imgsz (reference dataloaders.py:736-754)."""
+        im = cv2.imread(self.im_files[i])  # BGR
+        assert im is not None, f"Image not found {self.im_files[i]}"
+        h0, w0 = im.shape[:2]
+        r = self.imgsz / max(h0, w0)
+        if r != 1:
+            interp = cv2.INTER_LINEAR if (self.augment or r > 1) else cv2.INTER_AREA
+            im = cv2.resize(im, (math.ceil(w0 * r), math.ceil(h0 * r)), interpolation=interp)
+        return im, (h0, w0), im.shape[:2]
+
+    def __getitem__(self, index):
+        """Returns (img HWC BGR uint8, labels (n,5) cls+xywhn, shapes_meta)."""
+        hyp = self.hyp
+        if self.mosaic and random.random() < hyp.get("mosaic", 1.0):
+            img, labels = self._get_mosaic(index)
+            shapes_meta = None
+            if random.random() < hyp.get("mixup", 0.0):
+                img2, labels2 = self._get_mosaic(random.randint(0, len(self) - 1))
+                img, labels = mixup(img, labels, img2, labels2)
+        else:
+            img, (h0, w0), (h, w) = self.load_image(index)
+            shape = self.batch_shapes[self.batch_index[index]] if self.rect else (self.imgsz, self.imgsz)
+            img, ratio, pad = letterbox(img, tuple(shape), auto=False, scaleup=self.augment)
+            shapes_meta = (h0, w0), ((h / h0, w / w0), pad)
+            labels = self.labels[index].copy()
+            if labels.size:
+                labels[:, 1:] = xywhn2xyxy(labels[:, 1:], ratio[0] * w, ratio[1] * h, pad[0], pad[1])
+            if self.augment:
+                from yolov3_tpu.data.augment import random_perspective
+
+                img, labels = random_perspective(
+                    img,
+                    labels,
+                    degrees=hyp.get("degrees", 0.0),
+                    translate=hyp.get("translate", 0.1),
+                    scale=hyp.get("scale", 0.5),
+                    shear=hyp.get("shear", 0.0),
+                    perspective=hyp.get("perspective", 0.0),
+                )
+
+        nl = len(labels)
+        if nl:
+            labels[:, 1:5] = xyxy2xywhn(labels[:, 1:5], w=img.shape[1], h=img.shape[0], clip=True, eps=1e-3)
+
+        if self.augment:
+            augment_hsv(img, hyp.get("hsv_h", 0.015), hyp.get("hsv_s", 0.7), hyp.get("hsv_v", 0.4))
+            if random.random() < hyp.get("flipud", 0.0):
+                img = np.flipud(img)
+                if nl:
+                    labels[:, 2] = 1 - labels[:, 2]
+            if random.random() < hyp.get("fliplr", 0.5):
+                img = np.fliplr(img)
+                if nl:
+                    labels[:, 1] = 1 - labels[:, 1]
+
+        img = np.ascontiguousarray(img[:, :, ::-1])  # BGR -> RGB, still HWC uint8
+        return img, labels.astype(np.float32), shapes_meta
+
+    def _get_mosaic(self, index):
+        idxs = [index] + random.choices(self.indices.tolist(), k=3)
+        random.shuffle(idxs)
+        images, lbls, segs = [], [], []
+        for i in idxs:
+            im, _, _ = self.load_image(i)
+            images.append(im)
+            lbls.append(self.labels[i])
+            segs.append([])
+        return mosaic4(images, lbls, segs, self.imgsz, self.mosaic_border, self.hyp)
+
+
+def collate_fixed(samples, max_labels=300):
+    """Stack samples into fixed-shape arrays: (B,H,W,3) u8, (B,M,5) f32, (B,M) bool."""
+    imgs = np.stack([s[0] for s in samples])
+    B = len(samples)
+    targets = np.zeros((B, max_labels, 5), np.float32)
+    mask = np.zeros((B, max_labels), bool)
+    for b, s in enumerate(samples):
+        lb = s[1][:max_labels]
+        targets[b, : len(lb)] = lb
+        mask[b, : len(lb)] = True
+    shapes = [s[2] for s in samples]
+    return imgs, targets, mask, shapes
+
+
+class DataLoader:
+    """Minimal iterable loader with background prefetch (the reference's
+    InfiniteDataLoader/_RepeatSampler, dataloaders.py:132-170, exists to reuse
+    torch worker processes — a non-problem here since decoding runs in plain
+    threads that release the GIL inside cv2)."""
+
+    def __init__(self, dataset, batch_size=16, shuffle=False, max_labels=300, seed=0, drop_last=False, prefetch=2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.max_labels = max_labels
+        self.rng = np.random.default_rng(seed)
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else math.ceil(n / self.batch_size)
+
+    def _batches(self):
+        idx = np.arange(len(self.dataset))
+        if self.shuffle and not getattr(self.dataset, "rect", False):
+            self.rng.shuffle(idx)
+        for b in range(len(self)):
+            yield idx[b * self.batch_size : (b + 1) * self.batch_size]
+
+    def __iter__(self):
+        import queue
+
+        q = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            try:
+                for batch_idx in self._batches():
+                    samples = [self.dataset[i] for i in batch_idx]
+                    q.put(collate_fixed(samples, self.max_labels))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item

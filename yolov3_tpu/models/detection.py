@@ -1,0 +1,199 @@
+"""DetectionModel: static graph executor + user-facing model handle.
+
+The linen `YOLOGraph` walks the parsed `ModelSpec` layer list, honoring
+from-indices for skip connections (the reference's BaseModel._forward_once,
+models/yolo.py:135-147) — but as a trace-time python loop, so XLA sees one
+flat fused graph with no interpreter overhead.
+
+`DetectionModel` is the stateful handle (module + variables) mirroring the
+reference's `Model`/`DetectionModel` API (models/yolo.py:190-295): build from
+YAML, forward, decoded inference, TTA augmented inference, info. Parameters
+live in a plain pytree, so sharding/EMA/checkpointing are trivial.
+
+Note on fuse(): the reference folds Conv+BN for inference speed
+(yolo.py:163-172). Under XLA, inference-mode BN is a constant per-channel
+affine that the compiler folds into the adjacent conv automatically, so
+`fuse_model` exists for API parity and is a no-op on variables.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolov3_tpu.models.detect_head import Detect, decode_predictions
+from yolov3_tpu.models.spec import ModelSpec, parse_spec
+from yolov3_tpu.nn.modules import MODULE_REGISTRY, MULTI_INPUT_OPS
+from yolov3_tpu.utils.general import LOGGER
+
+
+def _accepts_dtype(cls):
+    return any(f.name == "dtype" for f in dataclasses.fields(cls))
+
+
+class YOLOGraph(nn.Module):
+    """Executes a ModelSpec layer graph. Returns the tuple of raw Detect feature maps."""
+
+    spec: ModelSpec
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        spec = self.spec
+        x = x.astype(self.dtype)
+        y = {}  # saved layer outputs
+        out = x
+        prev_i = -1
+        for ls in spec.layers:
+            if ls.op == "Detect":
+                feats = [out if j == prev_i else y[j] for j in ls.f]
+                return Detect(
+                    nc=spec.nc, na=spec.na, strides=spec.strides, dtype=self.dtype, name=f"l{ls.i}"
+                )(feats, train)
+
+            if ls.op in MULTI_INPUT_OPS:
+                inp = [out if j == prev_i else y[j] for j in ls.f]
+            else:
+                inp = out if ls.f[0] == prev_i else y[ls.f[0]]
+
+            cls = MODULE_REGISTRY[ls.op]
+            kwargs = {"dtype": self.dtype} if _accepts_dtype(cls) else {}
+            if ls.n == 1:
+                inp = cls(*ls.args, name=f"l{ls.i}", **kwargs)(inp, train)
+            else:  # stacked repeats (reference yolo.py:370)
+                for r in range(ls.n):
+                    inp = cls(*ls.args, name=f"l{ls.i}_{r}", **kwargs)(inp, train)
+            out = inp
+            prev_i = ls.i
+            if ls.i in spec.save:
+                y[ls.i] = out
+        raise ValueError("spec ended without a Detect layer")
+
+
+class DetectionModel:
+    """Model handle: (spec, linen module, variables) with torch-free ergonomics."""
+
+    def __init__(self, spec: ModelSpec, variables, dtype=jnp.float32, names=None):
+        self.spec = spec
+        self.module = YOLOGraph(spec=spec, dtype=dtype)
+        self.variables = variables
+        self.dtype = dtype
+        self.names = names or {i: str(i) for i in range(spec.nc)}
+        self.stride = max(spec.strides)
+
+    # -- construction -----------------------------------------------------
+    @classmethod
+    def from_config(cls, cfg="yolov3-tiny", ch=3, nc=None, anchors=None, key=None, dtype=jnp.float32, imgsz=256):
+        """Build with random init from a YAML config / name / dict (reference yolo.py:193-231)."""
+        spec = parse_spec(cfg, ch=ch, nc=nc, anchors=anchors)
+        module = YOLOGraph(spec=spec, dtype=dtype)
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        dummy = jnp.zeros((1, imgsz, imgsz, spec.ch_in), dtype)
+        variables = jax.jit(module.init, static_argnames=("train",))(key, dummy, train=False)
+        return cls(spec, variables, dtype)
+
+    # -- forward ----------------------------------------------------------
+    def __call__(self, x, train=False):
+        """Raw forward: tuple of per-scale (bs, na, ny, nx, no) feature maps."""
+        if train:
+            return self.module.apply(self.variables, x, train=True, mutable=["batch_stats"])
+        return self.module.apply(self.variables, x, train=False)
+
+    def predict(self, x, augment=False):
+        """Inference: (decoded (bs, N, no), feats). Mirrors reference eval-mode forward."""
+        if augment:
+            return self.predict_augmented(x), None
+        feats = self.module.apply(self.variables, x, train=False)
+        return decode_predictions(feats, self.anchors_px, self.spec.strides), feats
+
+    def predict_augmented(self, x):
+        """TTA inference: scales [1, .83, .67] with lr-flip on the middle scale,
+        descaled and tail-clipped (reference yolo.py:239-280)."""
+        h, w = x.shape[1:3]
+        gs = int(self.stride)
+        outs = []
+        for si, fi in zip((1.0, 0.83, 0.67), (None, 3, None)):
+            xi = jnp.flip(x, axis=2) if fi == 3 else (jnp.flip(x, axis=1) if fi == 2 else x)
+            xi = _scale_img(xi, si, gs)
+            yi = self.predict(xi)[0]
+            yi = _descale_pred(yi, fi, si, (h, w))
+            outs.append(yi)
+        outs = _clip_augmented(outs, nl=self.spec.nl)
+        return jnp.concatenate(outs, axis=1)
+
+    # -- metadata ----------------------------------------------------------
+    @property
+    def anchors_px(self):
+        return np.array(self.spec.anchors, dtype=np.float32).reshape(self.spec.nl, -1, 2)
+
+    @property
+    def params(self):
+        return self.variables["params"]
+
+    def num_params(self):
+        return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(self.variables["params"]))
+
+    def info(self, imgsz=640):
+        n_layers = len(self.spec.layers)
+        n_p = self.num_params()
+        LOGGER.info(
+            f"{self.spec.name}: {n_layers} spec layers, {n_p:,} parameters, "
+            f"strides {list(self.spec.strides)}, nc={self.spec.nc}"
+        )
+        return n_p
+
+    def replace_variables(self, variables):
+        m = DetectionModel(self.spec, variables, self.dtype, self.names)
+        return m
+
+
+def build_model(cfg="yolov3-tiny", **kw) -> DetectionModel:
+    return DetectionModel.from_config(cfg, **kw)
+
+
+def fuse_model(model: DetectionModel) -> DetectionModel:
+    """API-parity fuse(): XLA folds inference-mode BN affine into convs at compile
+    time, so there is nothing to do at the parameter level."""
+    LOGGER.info("fuse: inference BN is constant-folded by XLA; no parameter change needed")
+    return model
+
+
+# -- TTA helpers (reference utils/torch_utils.scale_img + yolo.py:254-280) ----
+def _scale_img(img, ratio=1.0, gs=32, pad_value=0.447):
+    """Resize NHWC batch by ratio (bilinear), pad bottom/right to a gs multiple."""
+    if ratio == 1.0:
+        return img
+    import math
+
+    b, h, w, c = img.shape
+    sh, sw = int(h * ratio), int(w * ratio)
+    img = jax.image.resize(img, (b, sh, sw, c), method="bilinear")
+    th, tw = math.ceil(h * ratio / gs) * gs, math.ceil(w * ratio / gs) * gs
+    return jnp.pad(img, ((0, 0), (0, th - sh), (0, tw - sw), (0, 0)), constant_values=pad_value)
+
+
+def _descale_pred(p, flips, scale, img_size):
+    """Undo TTA scale/flip on decoded predictions (reference yolo.py:254-269)."""
+    xy = p[..., 0:2] / scale
+    wh = p[..., 2:4] / scale
+    if flips == 2:  # ud
+        xy = jnp.stack([xy[..., 0], img_size[0] - xy[..., 1]], axis=-1)
+    elif flips == 3:  # lr
+        xy = jnp.stack([img_size[1] - xy[..., 0], xy[..., 1]], axis=-1)
+    return jnp.concatenate([xy, wh, p[..., 4:]], axis=-1)
+
+
+def _clip_augmented(y, nl):
+    """Clip augmented-inference tails (reference yolo.py:271-280)."""
+    g = sum(4**x for x in range(nl))
+    i = (y[0].shape[1] // g) * 1
+    y[0] = y[0][:, :-i]
+    i = (y[-1].shape[1] // g) * 4 ** (nl - 1)
+    y[-1] = y[-1][:, i:]
+    return y

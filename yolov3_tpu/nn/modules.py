@@ -1,0 +1,408 @@
+"""Module zoo: TPU-native (NHWC, flax.linen) building blocks.
+
+Functional re-design of the reference's torch module zoo
+(reference models/common.py:57-428). Key departures from the reference:
+
+- NHWC layout throughout (XLA's preferred TPU conv layout; NCHW in the
+  reference is a CUDA/cuDNN convention).
+- BatchNorm carried as a flax `batch_stats` collection; eps=1e-3 and
+  torch-momentum 0.03 (flax decay 0.97) matching the reference's
+  initialize_weights BN settings.
+- `dtype` threads a bf16 compute policy through convs (params stay fp32);
+  the reference's AMP GradScaler is unnecessary on TPU (bf16 keeps the fp32
+  exponent range).
+- Conv+BN fusion (`fuse()` parity, reference models/yolo.py:163-172) is a
+  pure parameter transform in `yolov3_tpu.models.fuse`, not a module rewrite.
+
+Modules take `train: bool` to select BN batch-vs-running statistics.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from yolov3_tpu.nn.activations import get_activation
+
+# torch Conv2d default init: kaiming_uniform(a=sqrt(5)) == U(±1/sqrt(fan_in)),
+# i.e. variance_scaling(1/3, fan_in, uniform). Kept for training-dynamics parity.
+conv_kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+def autopad(k, p=None, d=1):
+    """Same-shape padding for a given kernel/dilation (reference common.py:48-54)."""
+    if d > 1:
+        k = d * (k - 1) + 1 if isinstance(k, int) else [d * (x - 1) + 1 for x in k]
+    if p is None:
+        p = k // 2 if isinstance(k, int) else [x // 2 for x in k]
+    return p
+
+
+class Conv(nn.Module):
+    """Conv2d (no bias) + BatchNorm + activation (reference common.py:57-82)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: Any = None
+    g: int = 1
+    d: int = 1
+    act: Any = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = autopad(self.k, self.p, self.d)
+        pad = [(pad, pad), (pad, pad)] if isinstance(pad, int) else [(p, p) for p in pad]
+        x = nn.Conv(
+            self.c2,
+            (self.k, self.k) if isinstance(self.k, int) else tuple(self.k),
+            strides=self.s,
+            padding=pad,
+            feature_group_count=self.g,
+            kernel_dilation=self.d,
+            use_bias=False,
+            kernel_init=conv_kernel_init,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.97, epsilon=1e-3, dtype=self.dtype, name="bn"
+        )(x)
+        return get_activation(self.act)(x)
+
+
+class FusedConv(nn.Module):
+    """Conv2d (with bias) + activation — the inference-time fused form of `Conv`.
+
+    Produced by `yolov3_tpu.models.fuse.fuse_model`, which folds BN scale/shift
+    into the conv kernel/bias (reference fuse(), models/yolo.py:163-172).
+    """
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: Any = None
+    g: int = 1
+    d: int = 1
+    act: Any = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = autopad(self.k, self.p, self.d)
+        pad = [(pad, pad), (pad, pad)] if isinstance(pad, int) else [(p, p) for p in pad]
+        x = nn.Conv(
+            self.c2,
+            (self.k, self.k) if isinstance(self.k, int) else tuple(self.k),
+            strides=self.s,
+            padding=pad,
+            feature_group_count=self.g,
+            kernel_dilation=self.d,
+            use_bias=True,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        return get_activation(self.act)(x)
+
+
+class DWConv(nn.Module):
+    """Depthwise-ish conv: groups = gcd(c1, c2) (reference common.py:85-93)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    d: int = 1
+    act: Any = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        import math
+
+        g = math.gcd(x.shape[-1], self.c2)
+        return Conv(self.c2, self.k, self.s, g=g, d=self.d, act=self.act, dtype=self.dtype, name="dw")(x, train)
+
+
+class Bottleneck(nn.Module):
+    """1x1 reduce -> 3x3 conv with optional residual add (reference common.py:150-166)."""
+
+    c2: int
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1 = x.shape[-1]
+        c_ = int(self.c2 * self.e)
+        y = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        y = Conv(self.c2, 3, 1, g=self.g, dtype=self.dtype, name="cv2")(y, train)
+        return x + y if (self.shortcut and c1 == self.c2) else y
+
+
+class BottleneckCSP(nn.Module):
+    """CSP bottleneck (reference common.py:168-196)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        for i in range(self.n):
+            y1 = Bottleneck(c_, self.shortcut, self.g, e=1.0, dtype=self.dtype, name=f"m{i}")(y1, train)
+        y1 = nn.Conv(c_, (1, 1), use_bias=False, kernel_init=conv_kernel_init, dtype=self.dtype, name="cv3")(y1)
+        y2 = nn.Conv(c_, (1, 1), use_bias=False, kernel_init=conv_kernel_init, dtype=self.dtype, name="cv2")(x)
+        y = jnp.concatenate([y1, y2], axis=-1)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3, name="bn")(y)
+        y = get_activation("silu")(y)
+        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv4")(y, train)
+
+
+class C3(nn.Module):
+    """CSP bottleneck with 3 convolutions (reference common.py:199-221)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        for i in range(self.n):
+            y1 = Bottleneck(c_, self.shortcut, self.g, e=1.0, dtype=self.dtype, name=f"m{i}")(y1, train)
+        y2 = Conv(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv3")(jnp.concatenate([y1, y2], axis=-1), train)
+
+
+class SPP(nn.Module):
+    """Spatial pyramid pooling (reference common.py:267-290)."""
+
+    c2: int
+    k: Sequence[int] = (5, 9, 13)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = x.shape[-1] // 2
+        x = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        pools = [
+            nn.max_pool(x, (k, k), strides=(1, 1), padding=[(k // 2, k // 2), (k // 2, k // 2)]) for k in self.k
+        ]
+        x = jnp.concatenate([x, *pools], axis=-1)
+        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+
+
+class SPPF(nn.Module):
+    """Fast SPP: 3 chained k-pools == SPP(k, 2k-1, 3k-2) (reference common.py:293-313)."""
+
+    c2: int
+    k: int = 5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = x.shape[-1] // 2
+        x = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        p = [(self.k // 2, self.k // 2)] * 2
+        y1 = nn.max_pool(x, (self.k, self.k), strides=(1, 1), padding=p)
+        y2 = nn.max_pool(y1, (self.k, self.k), strides=(1, 1), padding=p)
+        y3 = nn.max_pool(y2, (self.k, self.k), strides=(1, 1), padding=p)
+        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv2")(jnp.concatenate([x, y1, y2, y3], axis=-1), train)
+
+
+class Focus(nn.Module):
+    """Space-to-depth stem: (b,h,w,c) -> (b,h/2,w/2,4c) -> Conv (reference common.py:316-332)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: Any = None
+    g: int = 1
+    act: Any = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = jnp.concatenate(
+            [x[:, ::2, ::2, :], x[:, 1::2, ::2, :], x[:, ::2, 1::2, :], x[:, 1::2, 1::2, :]], axis=-1
+        )
+        return Conv(self.c2, self.k, self.s, self.p, self.g, act=self.act, dtype=self.dtype, name="conv")(x, train)
+
+
+class GhostConv(nn.Module):
+    """Ghost convolution (reference common.py:335-352)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    g: int = 1
+    act: Any = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c2 // 2
+        y = Conv(c_, self.k, self.s, None, self.g, act=self.act, dtype=self.dtype, name="cv1")(x, train)
+        import math
+
+        y2 = Conv(c_, 5, 1, None, g=math.gcd(c_, c_), act=self.act, dtype=self.dtype, name="cv2")(y, train)
+        return jnp.concatenate([y, y2], axis=-1)
+
+
+class MaxPool(nn.Module):
+    """Plain max pooling (nn.MaxPool2d analog). Pads with -inf like torch."""
+
+    k: int = 2
+    s: int = 2
+    p: int = 0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return nn.max_pool(x, (self.k, self.k), strides=(self.s, self.s), padding=[(self.p, self.p)] * 2)
+
+
+class ZeroPad(nn.Module):
+    """Explicit zero padding on H/W: pad = (left, right, top, bottom), torch ZeroPad2d order."""
+
+    pad: Sequence[int] = (0, 1, 0, 1)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        l, r, t, b = self.pad
+        return jnp.pad(x, ((0, 0), (t, b), (l, r), (0, 0)))
+
+
+class Upsample(nn.Module):
+    """Nearest-neighbor integer upsample (nn.Upsample analog) via jnp.repeat — exact and cheap."""
+
+    scale: int = 2
+    mode: str = "nearest"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        assert self.mode == "nearest", f"unsupported upsample mode {self.mode}"
+        return jnp.repeat(jnp.repeat(x, self.scale, axis=1), self.scale, axis=2)
+
+
+class Concat(nn.Module):
+    """Concatenate a list of NHWC tensors on channels (reference common.py:416-430)."""
+
+    axis: int = -1
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        return jnp.concatenate(xs, axis=self.axis)
+
+
+class Contract(nn.Module):
+    """Space-to-depth: (b, h, w, c) -> (b, h/g, w/g, c*g^2) (reference common.py:380-395)."""
+
+    gain: int = 2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        g = self.gain
+        x = x.reshape(b, h // g, g, w // g, g, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5)
+        return x.reshape(b, h // g, w // g, c * g * g)
+
+
+class Expand(nn.Module):
+    """Depth-to-space: (b, h, w, c) -> (b, h*g, w*g, c/g^2) (reference common.py:398-413)."""
+
+    gain: int = 2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        g = self.gain
+        x = x.reshape(b, h, w, g, g, c // (g * g))
+        x = x.transpose(0, 1, 3, 2, 4, 5)
+        return x.reshape(b, h * g, w * g, c // (g * g))
+
+
+class Sum(nn.Module):
+    """Weighted sum of feature maps (reference models/experimental.py:15-39)."""
+
+    n: int
+    weight: bool = False
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        y = xs[0]
+        if self.weight:
+            w = self.param("w", lambda k, s: -jnp.arange(1.0, s[0] + 1.0) / 2.0, (self.n - 1,))
+            w = nn.sigmoid(w) * 2
+            for i in range(self.n - 1):
+                y = y + xs[i + 1] * w[i]
+        else:
+            for i in range(self.n - 1):
+                y = y + xs[i + 1]
+        return y
+
+
+class GhostBottleneck(nn.Module):
+    """Ghost bottleneck (reference common.py:355-377)."""
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c2 // 2
+        y = GhostConv(c_, 1, 1, act=True, dtype=self.dtype, name="gc1")(x, train)
+        if self.s == 2:
+            y = DWConv(c_, self.k, self.s, act=False, dtype=self.dtype, name="dw")(y, train)
+        y = GhostConv(self.c2, 1, 1, act=False, dtype=self.dtype, name="gc2")(y, train)
+        if self.s == 2:
+            sc = DWConv(x.shape[-1], self.k, self.s, act=False, dtype=self.dtype, name="dws")(x, train)
+            sc = Conv(self.c2, 1, 1, act=False, dtype=self.dtype, name="sc")(sc, train)
+        else:
+            sc = x if x.shape[-1] == self.c2 else Conv(self.c2, 1, 1, act=False, dtype=self.dtype, name="sc")(x, train)
+        return y + sc
+
+
+# Registry mapping spec op names -> (module class, kind). kind 'multi' modules
+# consume a list of inputs; 'single' consume one tensor. Aliases cover the
+# reference YAML spellings so reference-format model files load unchanged.
+MODULE_REGISTRY = {
+    "Conv": Conv,
+    "DWConv": DWConv,
+    "Bottleneck": Bottleneck,
+    "BottleneckCSP": BottleneckCSP,
+    "C3": C3,
+    "SPP": SPP,
+    "SPPF": SPPF,
+    "Focus": Focus,
+    "GhostConv": GhostConv,
+    "GhostBottleneck": GhostBottleneck,
+    "MaxPool": MaxPool,
+    "nn.MaxPool2d": MaxPool,
+    "ZeroPad": ZeroPad,
+    "nn.ZeroPad2d": ZeroPad,
+    "Upsample": Upsample,
+    "nn.Upsample": Upsample,
+    "Concat": Concat,
+    "Contract": Contract,
+    "Expand": Expand,
+    "Sum": Sum,
+}
+
+MULTI_INPUT_OPS = {"Concat", "Sum"}

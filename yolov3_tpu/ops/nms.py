@@ -1,0 +1,208 @@
+"""Fixed-shape batched NMS for TPU.
+
+Re-designs the reference's dynamic-shape NMS pipeline (reference
+utils/general.py:630-750, which funnels into torchvision.ops.nms) as a
+static-shape XLA program:
+
+  1. conf = obj * cls (general.py:702), candidate masking at `conf_thres`,
+     best-class or multi-label expansion (general.py:709-714);
+  2. top-`max_nms` prefilter by score (general.py:727);
+  3. exact greedy NMS as a `max_det`-step argmax+suppress loop. Greedy NMS
+     selects surviving boxes in descending score order, so selecting the
+     argmax of the not-yet-suppressed set each step reproduces torchvision's
+     sequential semantics exactly — in max_det * O(K) vector work instead of
+     a data-dependent loop, with no O(K^2) IoU matrix.
+
+Class-aware suppression uses the same class-offset trick (c * 7680,
+general.py:731-733). Everything is jit-compatible with static shapes; the
+host-facing `non_max_suppression` mirrors the reference's list-of-(n,6)
+return convention.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolov3_tpu.ops.boxes import xywh2xyxy
+
+MAX_WH = 7680  # maximum box width/height used for the class offset
+
+
+def _iou_1_vs_many(box, boxes, eps=1e-7):
+    """IoU of one xyxy box (4,) against (K,4)."""
+    lt = jnp.maximum(box[:2], boxes[:, :2])
+    rb = jnp.minimum(box[2:4], boxes[:, 2:4])
+    wh = jnp.clip(rb - lt, 0, None)
+    inter = wh[:, 0] * wh[:, 1]
+    area1 = (box[2] - box[0]) * (box[3] - box[1])
+    area2 = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    return inter / (area1 + area2 - inter + eps)
+
+
+def _greedy_nms(boxes_off, boxes, scores, cls_ids, iou_thres, max_det):
+    """Greedy NMS over K prefiltered candidates. scores < 0 mark invalid slots.
+
+    Returns (out (max_det, 6), n_valid). Rows are [x1,y1,x2,y2,conf,cls] in
+    descending score order; unused rows are zero.
+    """
+    K = scores.shape[0]
+
+    def step(t, state):
+        scores_t, out = state
+        i = jnp.argmax(scores_t)
+        s = scores_t[i]
+        valid = s > 0.0
+        row = jnp.concatenate([boxes[i], jnp.array([1.0], scores.dtype) * s, cls_ids[i][None]])
+        out = out.at[t].set(jnp.where(valid, row, jnp.zeros(6, dtype=out.dtype)))
+        iou = _iou_1_vs_many(boxes_off[i], boxes_off)
+        suppress = (iou > iou_thres) & valid
+        scores_t = jnp.where(suppress, -1.0, scores_t)
+        scores_t = scores_t.at[i].set(-1.0)
+        return scores_t, out
+
+    out0 = jnp.zeros((max_det, 6), dtype=scores.dtype)
+    _, out = jax.lax.fori_loop(0, min(max_det, K), step, (scores, out0))
+    n_valid = jnp.sum(out[:, 4] > 0).astype(jnp.int32)
+    return out, n_valid
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("conf_thres", "iou_thres", "classes", "agnostic", "multi_label", "max_det", "max_nms", "merge"),
+)
+def batched_nms(
+    prediction,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    classes: tuple | None = None,
+    agnostic: bool = False,
+    multi_label: bool = False,
+    max_det: int = 300,
+    max_nms: int = 30000,
+    merge: bool = False,
+):
+    """Jittable batched NMS.
+
+    Args:
+        prediction: (bs, N, 5+nc) raw decoded predictions [xywh, obj, cls...].
+        conf_thres/iou_thres/classes/agnostic/multi_label/max_det: reference
+            semantics (utils/general.py:630-642).
+        max_nms: top-k prefilter size fed to the suppression loop.
+        merge: weighted-mean merge-NMS (general.py:735-741).
+
+    Returns:
+        out: (bs, max_det, 6) [xyxy, conf, cls], zero-padded.
+        n_valid: (bs,) number of valid rows per image.
+    """
+    prediction = prediction.astype(jnp.float32)
+    bs, n, no = prediction.shape
+    nc = no - 5
+
+    def one_image(x):
+        box = xywh2xyxy(x[:, :4])  # (N,4)
+        obj = x[:, 4]
+        cls_scores = x[:, 5:] * obj[:, None]  # conf = obj * cls
+
+        if multi_label and nc > 1:
+            # flatten (N, nc) candidates; boxes indexed via box_idx, not materialized
+            scores = cls_scores.reshape(-1)  # (N*nc,)
+            cls_ids = jnp.tile(jnp.arange(nc, dtype=jnp.float32), n)
+            box_idx = jnp.repeat(jnp.arange(n), nc)
+            valid = (scores > conf_thres) & (obj[box_idx] > conf_thres)
+        else:
+            conf = jnp.max(cls_scores, axis=1)
+            j = jnp.argmax(cls_scores, axis=1)
+            scores = conf
+            cls_ids = j.astype(jnp.float32)
+            box_idx = jnp.arange(n)
+            valid = (scores > conf_thres) & (obj > conf_thres)
+
+        if classes is not None:
+            cls_allowed = jnp.zeros((nc,), dtype=bool).at[jnp.array(classes)].set(True)
+            valid &= cls_allowed[cls_ids.astype(jnp.int32)]
+
+        masked_scores = jnp.where(valid, scores, -1.0)
+        k = min(max_nms, masked_scores.shape[0])
+        top_scores, top_i = jax.lax.top_k(masked_scores, k)
+        top_box = box[box_idx[top_i]]
+        top_cls = cls_ids[top_i]
+        offset = jnp.where(agnostic, 0.0, top_cls * MAX_WH)
+        top_box_off = top_box + offset[:, None]
+
+        out, n_valid = _greedy_nms(top_box_off, top_box, top_scores, top_cls, iou_thres, max_det)
+
+        if merge:
+            # boxes(i,4) = weights(i,K) * boxes(K,4) / sum(weights) — reference general.py:735-741
+            sel_off = out[:, :4] + jnp.where(agnostic, 0.0, out[:, 5:6] * MAX_WH)
+            lt = jnp.maximum(sel_off[:, None, :2], top_box_off[None, :, :2])
+            rb = jnp.minimum(sel_off[:, None, 2:4], top_box_off[None, :, 2:4])
+            wh = jnp.clip(rb - lt, 0, None)
+            inter = wh[..., 0] * wh[..., 1]
+            a1 = (sel_off[:, 2] - sel_off[:, 0]) * (sel_off[:, 3] - sel_off[:, 1])
+            a2 = (top_box_off[:, 2] - top_box_off[:, 0]) * (top_box_off[:, 3] - top_box_off[:, 1])
+            iou = inter / (a1[:, None] + a2[None, :] - inter + 1e-7)
+            w = (iou > iou_thres) * jnp.clip(top_scores, 0.0, None)[None, :]
+            merged = (w @ top_box) / jnp.clip(w.sum(1, keepdims=True), 1e-7, None)
+            has = out[:, 4] > 0
+            out = out.at[:, :4].set(jnp.where(has[:, None], merged, out[:, :4]))
+
+        return out, n_valid
+
+    return jax.vmap(one_image)(prediction)
+
+
+def non_max_suppression(
+    prediction,
+    conf_thres=0.25,
+    iou_thres=0.45,
+    classes=None,
+    agnostic=False,
+    multi_label=False,
+    labels=(),
+    max_det=300,
+    max_nms=30000,
+    merge=False,
+):
+    """Host-facing NMS mirroring the reference's list-of-(n,6) ndarray output.
+
+    Accepts (bs, N, 5+nc) arrays (or the (inference, train_out) tuple the model
+    returns in val mode, reference general.py:663-664). Optional `labels`
+    injects apriori boxes for hybrid autolabelling (general.py:689-695).
+    """
+    if isinstance(prediction, (list, tuple)):
+        prediction = prediction[0]
+    prediction = jnp.asarray(prediction)
+    nc = prediction.shape[2] - 5
+
+    if labels and any(len(lb) for lb in labels):
+        # materialize apriori labels as perfect-confidence candidate rows
+        extra = max(len(lb) for lb in labels)
+        pads = []
+        for lb in labels:
+            v = np.zeros((extra, 5 + nc), dtype=np.float32)
+            if len(lb):
+                lb = np.asarray(lb, dtype=np.float32)
+                v[: len(lb), :4] = lb[:, 1:5]
+                v[: len(lb), 4] = 1.0
+                v[np.arange(len(lb)), lb[:, 0].astype(int) + 5] = 1.0
+            pads.append(v)
+        prediction = jnp.concatenate([prediction, jnp.asarray(np.stack(pads))], axis=1)
+
+    out, n_valid = batched_nms(
+        prediction,
+        conf_thres=float(conf_thres),
+        iou_thres=float(iou_thres),
+        classes=tuple(classes) if classes is not None else None,
+        agnostic=bool(agnostic),
+        multi_label=bool(multi_label),
+        max_det=int(max_det),
+        max_nms=int(max_nms),
+        merge=bool(merge),
+    )
+    out = np.asarray(out)
+    n_valid = np.asarray(n_valid)
+    return [out[i, : n_valid[i]] for i in range(out.shape[0])]

@@ -1,0 +1,62 @@
+"""Device mesh + sharding utilities: SPMD data parallelism over ICI/DCN.
+
+TPU-native replacement for the reference's DDP/NCCL stack (reference
+train.py:680-683, utils/torch_utils.py:60-82). One program, one
+`jax.sharding.Mesh` with a "data" axis; parameters replicated, batches
+sharded on the leading axis; XLA inserts the gradient all-reduce the moment
+the loss is a mean over the sharded batch — there is no smart_DDP, no
+`loss *= WORLD_SIZE` compensation (train.py:405-406), and no rank-0 barrier
+dance (`torch_distributed_zero_first`): per-host input sharding and
+`jax.process_index()==0` gating cover those roles.
+
+Multi-host: call `initialize_distributed()` once per process (the analog of
+dist.init_process_group, but coordinates hosts not devices).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_distributed(coordinator=None, num_processes=None, process_id=None):
+    """Multi-host init (jax.distributed). Single-host runs skip this."""
+    if num_processes and num_processes > 1:
+        jax.distributed.initialize(coordinator, num_processes, process_id)
+
+
+def create_mesh(devices=None, axis_name="data"):
+    """1-D data-parallel mesh over all local (or given) devices."""
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def batch_sharding(mesh, axis_name="data"):
+    """Shard the leading (batch) axis; replicate the rest."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh):
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh, batch, axis_name="data"):
+    """Place a host array (or pytree of arrays) sharded on the batch axis."""
+    sh = batch_sharding(mesh, axis_name)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(mesh, tree):
+    """Replicate a pytree (params/opt state) across the mesh."""
+    sh = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def process_shard(array_len: int) -> slice:
+    """This host's contiguous shard of a global dataset index range —
+    the analog of torch DistributedSampler (reference dataloaders.py:115)."""
+    n = jax.process_count()
+    i = jax.process_index()
+    per = array_len // n
+    return slice(i * per, (i + 1) * per if i < n - 1 else array_len)
