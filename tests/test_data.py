@@ -1,0 +1,134 @@
+"""Data pipeline tests: letterbox geometry, dataset loading, label cache, collation."""
+
+from pathlib import Path
+
+import cv2
+import numpy as np
+import pytest
+
+from yolov3_tpu.data.augment import augment_hsv, box_candidates, letterbox, mosaic4, random_perspective
+from yolov3_tpu.data.datasets import DataLoader, DetectionDataset, collate_fixed, img2label_paths, verify_image_label
+
+
+@pytest.fixture(scope="module")
+def mini_ds(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ds")
+    (root / "images" / "train").mkdir(parents=True)
+    (root / "labels" / "train").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        h, w = int(rng.integers(80, 160)), int(rng.integers(80, 160))
+        im = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        cv2.imwrite(str(root / "images" / "train" / f"{i}.jpg"), im)
+        (root / "labels" / "train" / f"{i}.txt").write_text(f"{i % 2} 0.5 0.5 0.4 0.3\n")
+    return root
+
+
+def test_img2label_paths():
+    out = img2label_paths(["/data/images/train/a.jpg"])
+    assert out == ["/data/labels/train/a.txt"]
+
+
+def test_letterbox_exact_square():
+    im = np.zeros((480, 640, 3), np.uint8)
+    out, ratio, pad = letterbox(im, 640, auto=False)
+    assert out.shape == (640, 640, 3)
+    assert ratio == (1.0, 1.0)
+    assert pad == (0.0, 80.0)
+
+
+def test_letterbox_auto_stride():
+    im = np.zeros((480, 640, 3), np.uint8)
+    out, _, _ = letterbox(im, 640, auto=True, stride=32)
+    assert out.shape[0] % 32 == 0 and out.shape[1] % 32 == 0
+    assert out.shape == (480, 640, 3)  # already multiples
+
+
+def test_verify_image_label(mini_ds):
+    imgs = sorted((mini_ds / "images" / "train").glob("*.jpg"))
+    lb, shape, msg = verify_image_label(str(imgs[0]), str(mini_ds / "labels" / "train" / "0.txt"), 2)
+    assert msg is None
+    assert lb.shape == (1, 5)
+    # bad label: out-of-range class
+    bad = mini_ds / "labels" / "train" / "bad.txt"
+    bad.write_text("7 0.5 0.5 0.5 0.5\n")
+    lb, shape, msg = verify_image_label(str(imgs[0]), str(bad), 2)
+    assert msg is not None
+
+
+def test_dataset_and_cache(mini_ds, tmp_path):
+    ds = DetectionDataset(str(mini_ds / "images" / "train"), imgsz=96, augment=False, num_cls=2,
+                          cache_dir=tmp_path / "c1")
+    assert len(ds) == 4
+    img, labels, meta = ds[0]
+    assert img.dtype == np.uint8 and img.shape == (96, 96, 3)
+    assert labels.shape[1] == 5
+    assert (labels[:, 1:] <= 1).all() and (labels[:, 1:] >= 0).all()
+    # cache reuse
+    ds2 = DetectionDataset(str(mini_ds / "images" / "train"), imgsz=96, augment=False, num_cls=2,
+                           cache_dir=tmp_path / "c1")
+    assert len(ds2) == 4
+
+
+def test_rect_batches(mini_ds, tmp_path):
+    ds = DetectionDataset(str(mini_ds / "images" / "train"), imgsz=96, rect=True, stride=32, pad=0.5,
+                          batch_size=2, num_cls=2, cache_dir=tmp_path / "c2")
+    assert hasattr(ds, "batch_shapes")
+    assert (ds.batch_shapes % 32 == 0).all()
+    img, labels, meta = ds[0]
+    bs = ds.batch_shapes[ds.batch_index[0]]
+    assert img.shape[:2] == tuple(bs)
+
+
+def test_collate_fixed(mini_ds, tmp_path):
+    ds = DetectionDataset(str(mini_ds / "images" / "train"), imgsz=96, num_cls=2, cache_dir=tmp_path / "c3")
+    samples = [ds[i] for i in range(4)]
+    imgs, targets, mask, shapes = collate_fixed(samples, max_labels=16)
+    assert imgs.shape == (4, 96, 96, 3)
+    assert targets.shape == (4, 16, 5)
+    assert mask.shape == (4, 16)
+    assert mask.sum() == sum(len(s[1]) for s in samples)
+
+
+def test_dataloader_iteration(mini_ds, tmp_path):
+    ds = DetectionDataset(str(mini_ds / "images" / "train"), imgsz=96, num_cls=2, cache_dir=tmp_path / "c4")
+    dl = DataLoader(ds, batch_size=2, shuffle=True, max_labels=8)
+    batches = list(dl)
+    assert len(batches) == 2
+    assert all(b[0].shape[0] == 2 for b in batches)
+
+
+def test_mosaic(mini_ds, tmp_path):
+    ds = DetectionDataset(
+        str(mini_ds / "images" / "train"), imgsz=96, augment=True,
+        hyp={"mosaic": 1.0, "translate": 0.1, "scale": 0.5, "fliplr": 0.0, "hsv_h": 0, "hsv_s": 0, "hsv_v": 0},
+        num_cls=2, cache_dir=tmp_path / "c5",
+    )
+    img, labels, meta = ds[0]
+    assert img.shape == (96, 96, 3)  # 2x canvas cropped back to imgsz by the border
+    if len(labels):
+        assert (labels[:, 1:] >= 0).all() and (labels[:, 1:] <= 1).all()
+
+
+def test_random_perspective_identity():
+    im = np.zeros((100, 100, 3), np.uint8)
+    targets = np.array([[0, 20.0, 20.0, 60.0, 60.0]], np.float32)
+    out_im, out_t = random_perspective(im, targets.copy(), degrees=0, translate=0, scale=0, shear=0)
+    assert out_im.shape == im.shape
+    np.testing.assert_allclose(out_t[:, 1:], targets[:, 1:], atol=1.0)
+
+
+def test_box_candidates_filters_small():
+    b1 = np.array([[0.0], [0.0], [50.0], [50.0]])
+    b2_ok = np.array([[0.0], [0.0], [40.0], [40.0]])
+    b2_small = np.array([[0.0], [0.0], [1.0], [1.0]])
+    assert box_candidates(b1, b2_ok)[0]
+    assert not box_candidates(b1, b2_small)[0]
+
+
+def test_hsv_inplace(rng):
+    im = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+    before = im.copy()
+    augment_hsv(im, 0.5, 0.5, 0.5)
+    assert im.shape == before.shape
+    assert im.dtype == np.uint8

@@ -1,0 +1,106 @@
+"""Train-step integration: loss decreases on a tiny overfit task; EMA/opt state sanity."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from yolov3_tpu.models.detection import DetectionModel
+from yolov3_tpu.train.loss import LossConfig
+from yolov3_tpu.train.optim import EMA, build_optimizer, build_schedules
+from yolov3_tpu.train.step import init_train_state, make_train_step
+
+SPEC = {
+    "nc": 2,
+    "anchors": [[10, 14, 23, 27, 37, 58], [81, 82, 135, 169, 344, 319]],
+    "layers": [
+        {"from": -1, "n": 1, "op": "Conv", "args": [8, 3, 2]},
+        {"from": -1, "n": 1, "op": "Conv", "args": [16, 3, 2]},
+        {"from": -1, "n": 1, "op": "Conv", "args": [16, 3, 2]},
+        {"from": -1, "n": 1, "op": "Conv", "args": [32, 3, 2]},
+        {"from": -1, "n": 1, "op": "Conv", "args": [32, 3, 2]},
+        {"from": [3, 4], "n": 1, "op": "Detect", "args": ["nc", "anchors"]},
+    ],
+}
+HYP = {"lr0": 0.01, "lrf": 0.01, "momentum": 0.9, "weight_decay": 0.0, "warmup_epochs": 0.0}
+
+
+@pytest.fixture
+def setup():
+    # function-scoped: the train step donates its input state, so each test
+    # needs a fresh state pytree
+    model = DetectionModel.from_config(SPEC, imgsz=64)
+    # batch_size=nbs=64 -> accumulate=1 (no MultiSteps wrapping) so every step applies
+    tx, sch, _ = build_optimizer(
+        "sgd", model.params, HYP, epochs=10, steps_per_epoch=10, batch_size=64, min_warmup_steps=0
+    )
+    loss_cfg = LossConfig.from_model(model.spec, HYP)
+    step = make_train_step(model.module, loss_cfg, tx)
+    state = init_train_state(model, tx)
+    return model, step, state
+
+
+def make_batch():
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, size=(2, 64, 64, 3), dtype=np.uint8)
+    targets = np.zeros((2, 4, 5), np.float32)
+    targets[:, 0] = [0, 0.5, 0.5, 0.4, 0.4]
+    targets[:, 1] = [1, 0.25, 0.25, 0.2, 0.3]
+    mask = np.zeros((2, 4), bool)
+    mask[:, :2] = True
+    return imgs, targets, mask
+
+
+def test_loss_decreases_overfit(setup):
+    model, step, state = setup
+    imgs, targets, mask = make_batch()
+    losses = []
+    for _ in range(15):
+        state, metrics = step(state, imgs, targets, mask)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0] * 0.9, f"no learning: {losses[0]:.4f} -> {losses[-1]:.4f}"
+    assert int(state["step"]) == 15
+    assert int(state["ema"]["updates"]) == 15
+
+
+def test_ema_tracks_params(setup):
+    model, step, state = setup
+    imgs, targets, mask = make_batch()
+    state, _ = step(state, imgs, targets, mask)
+    # after 1 update with ramped decay ~0, EMA ~= params
+    p = jax.tree.leaves(state["params"])[0]
+    e = jax.tree.leaves(state["ema"]["ema"]["params"])[0]
+    np.testing.assert_allclose(np.asarray(e), np.asarray(p), atol=1e-2)
+
+
+def test_warmup_schedules():
+    sch = build_schedules(
+        {"lr0": 0.01, "lrf": 0.01, "warmup_epochs": 2.0, "warmup_momentum": 0.8, "momentum": 0.937,
+         "warmup_bias_lr": 0.1},
+        epochs=10, steps_per_epoch=100, batch_size=16,
+    )
+    # warmup covers 200 steps
+    assert float(sch.lr(0.0)) == 0.0
+    assert float(sch.bias_lr(0.0)) == pytest.approx(0.1)
+    assert float(sch.momentum(0.0)) == pytest.approx(0.8)
+    assert float(sch.momentum(200.0)) == pytest.approx(0.937)
+    # post-warmup: linear decay from lr0
+    lr_mid = float(sch.lr(500.0))  # epoch 5
+    expected = 0.01 * ((1 - 5 / 10) * (1 - 0.01) + 0.01)
+    assert lr_mid == pytest.approx(expected, rel=1e-3)
+
+
+def test_earlystopping():
+    from yolov3_tpu.train.optim import EarlyStopping
+
+    es = EarlyStopping(patience=3)
+    assert not es(0, 0.5)
+    assert not es(1, 0.4)
+    assert not es(2, 0.4)
+    assert es(3, 0.4)  # 3 epochs without improvement
+    es2 = EarlyStopping(patience=3)
+    assert not es2(0, 0.1)
+    assert not es2(2, 0.2)  # improvement resets
+    assert not es2(4, 0.3)

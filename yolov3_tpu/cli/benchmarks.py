@@ -1,0 +1,75 @@
+"""Format benchmark matrix — reference benchmarks.py:44-118 counterpart.
+
+Exports the model to each supported format, validates each export, and prints
+a table [Format, Size (MB), mAP50-95, inference ms]. `--hard-fail FLOOR`
+asserts the native-path mAP stays above the floor (metric regression gate,
+reference benchmarks.py:114-117).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+import numpy as np
+
+from yolov3_tpu import export as export_mod
+from yolov3_tpu.utils.general import LOGGER, file_size
+
+
+def run(weights="yolov3-tiny", data="coco128.yaml", imgsz=640, batch_size=8, hard_fail=None, formats=None):
+    from yolov3_tpu.cli.val import load_weights
+    from yolov3_tpu.eval import validator
+
+    results = []
+    model = load_weights(weights)
+    for fmt in formats or export_mod.EXPORT_FORMATS:
+        t0 = time.time()
+        try:
+            if fmt == "checkpoint":
+                # native path: validate the model directly
+                r, _, speeds = validator.run(data, model=model, batch_size=batch_size, imgsz=imgsz)
+                mAP = r[3]
+                size = 0.0
+                ms = speeds[1]
+            else:
+                out = export_mod.run(weights, include=(fmt,), imgsz=imgsz, batch=batch_size)[fmt]
+                assert out is not None, "export returned None"
+                size = file_size(out)
+                mAP, ms = float("nan"), float("nan")  # non-native runtimes not benchmarked in-process
+            results.append((fmt, size, mAP, ms))
+            LOGGER.info(f"benchmark {fmt}: ok in {time.time() - t0:.1f}s")
+        except Exception as e:  # noqa: BLE001
+            LOGGER.warning(f"benchmark {fmt}: failed — {e}")
+            results.append((fmt, None, None, None))
+
+    LOGGER.info(f"\n{'Format':<14}{'Size (MB)':>10}{'mAP50-95':>10}{'ms/img':>10}")
+    for fmt, size, mAP, ms in results:
+        LOGGER.info(
+            f"{fmt:<14}{(f'{size:.1f}' if size is not None else '-'):>10}"
+            f"{(f'{mAP:.3f}' if mAP is not None else '-'):>10}{(f'{ms:.1f}' if ms is not None else '-'):>10}"
+        )
+
+    if hard_fail is not None:
+        native = [r for r in results if r[0] == "checkpoint"][0]
+        assert native[2] is not None and native[2] > float(hard_fail), (
+            f"HARD FAIL: native mAP50-95 {native[2]} <= floor {hard_fail}"
+        )
+    return results
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--weights", default="yolov3-tiny")
+    p.add_argument("--data", default="coco128.yaml")
+    p.add_argument("--imgsz", type=int, default=640)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--hard-fail", type=float, default=None)
+    p.add_argument("--formats", nargs="+", default=None)
+    a = p.parse_args()
+    run(a.weights, a.data, a.imgsz, a.batch_size, a.hard_fail, a.formats)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""Training CLI — reference train.py:533-687 counterpart.
+
+Usage:
+    python -m yolov3_tpu.cli.train --data coco128.yaml --cfg yolov3-tiny \
+        --imgsz 640 --batch-size 16 --epochs 3
+
+Multi-host TPU pods: run the same command on every host (SPMD);
+`--coordinator` wires up jax.distributed (the torch.distributed.run analog).
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+from yolov3_tpu.train.loop import train
+from yolov3_tpu.utils.general import check_yaml, print_args
+
+
+def parse_opt(known=False):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--weights", type=str, default="", help="initial weights checkpoint dir")
+    parser.add_argument("--cfg", type=str, default="yolov3-tiny", help="model config name/path")
+    parser.add_argument("--data", type=str, default="coco128.yaml")
+    parser.add_argument("--hyp", type=str, default="", help="hyperparameters yaml")
+    parser.add_argument("--epochs", type=int, default=100)
+    parser.add_argument("--batch-size", type=int, default=16, help="global batch size across all devices")
+    parser.add_argument("--imgsz", "--img", "--img-size", type=int, default=640)
+    parser.add_argument("--noval", action="store_true")
+    parser.add_argument("--nosave", action="store_true")
+    parser.add_argument("--noautoanchor", action="store_true")
+    parser.add_argument("--single-cls", action="store_true")
+    parser.add_argument("--optimizer", type=str, choices=["sgd", "adam", "adamw"], default="sgd")
+    parser.add_argument("--cos-lr", action="store_true")
+    parser.add_argument("--resume", nargs="?", const=True, default=False)
+    parser.add_argument("--patience", type=int, default=100)
+    parser.add_argument("--project", default="runs/train")
+    parser.add_argument("--name", default="exp")
+    parser.add_argument("--exist-ok", action="store_true")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--save-period", type=int, default=-1)
+    # multi-host
+    parser.add_argument("--coordinator", type=str, default=None, help="host:port of process 0")
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
+    return parser.parse_known_args()[0] if known else parser.parse_args()
+
+
+def main(opt=None):
+    opt = opt or parse_opt()
+    if opt.num_processes:
+        from yolov3_tpu.parallel.mesh import initialize_distributed
+
+        initialize_distributed(opt.coordinator, opt.num_processes, opt.process_id)
+    print_args(vars(opt))
+    save_dir = None
+    if opt.resume:  # locate the latest run's dir (reference train.py:642-654)
+        if isinstance(opt.resume, str) and Path(opt.resume).exists():
+            save_dir = Path(opt.resume)
+        else:
+            from yolov3_tpu.utils.general import get_latest_run
+
+            last = get_latest_run(opt.project)
+            assert last, f"no checkpoint found under {opt.project} to resume from"
+            save_dir = Path(last).parent.parent  # .../exp/weights/last -> .../exp
+    train(
+        save_dir=save_dir,
+        data=check_yaml(opt.data),
+        cfg=opt.cfg,
+        hyp=check_yaml(opt.hyp) if opt.hyp else None,
+        weights=opt.weights or None,
+        epochs=opt.epochs,
+        batch_size=opt.batch_size,
+        imgsz=opt.imgsz,
+        optimizer=opt.optimizer,
+        cos_lr=opt.cos_lr,
+        noautoanchor=opt.noautoanchor,
+        noval=opt.noval,
+        nosave=opt.nosave,
+        single_cls=opt.single_cls,
+        patience=opt.patience,
+        project=opt.project,
+        name=opt.name,
+        exist_ok=opt.exist_ok,
+        seed=opt.seed,
+        resume=bool(opt.resume),
+        save_period=opt.save_period,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -326,10 +326,19 @@ class DataLoader:
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else math.ceil(n / self.batch_size)
 
+    def set_indices(self, indices):
+        """Override the sampling order for the next epoch (image-weights
+        resampling, reference train.py:360-363)."""
+        self._indices_override = np.asarray(indices)
+
     def _batches(self):
-        idx = np.arange(len(self.dataset))
-        if self.shuffle and not getattr(self.dataset, "rect", False):
-            self.rng.shuffle(idx)
+        idx = getattr(self, "_indices_override", None)
+        if idx is None:
+            idx = np.arange(len(self.dataset))
+            if self.shuffle and not getattr(self.dataset, "rect", False):
+                self.rng.shuffle(idx)
+        else:
+            self._indices_override = None
         for b in range(len(self)):
             yield idx[b * self.batch_size : (b + 1) * self.batch_size]
 

@@ -1,0 +1,224 @@
+"""Validation engine: mAP evaluation of a DetectionModel over a dataset.
+
+Counterpart of the reference val.py:192-489 with TPU-shaped execution:
+the forward runs as one jitted program per (batch, height, width) bucket
+(rect batches produce a bounded set of shapes), decode+NMS run fixed-shape
+on device, and the matching/AP math runs on host numpy exactly like the
+reference (process_batch at 10 IoUs 0.5:0.95, val.py:313; ap_per_class
+101-pt COCO integration).
+
+Defaults are the mAP-defining settings: conf 0.001, iou 0.6, max_det 300,
+multi-label NMS, rect pad 0.5 (reference val.py:196-199, 325).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from yolov3_tpu.data.datasets import DataLoader, DetectionDataset
+from yolov3_tpu.data.dataset_yaml import check_dataset
+from yolov3_tpu.eval.metrics import ConfusionMatrix, ap_per_class, process_batch
+from yolov3_tpu.models.detect_head import decode_predictions
+from yolov3_tpu.ops.boxes import scale_boxes, xywh2xyxy
+from yolov3_tpu.ops.nms import batched_nms
+from yolov3_tpu.train.loss import compute_loss
+from yolov3_tpu.utils.general import LOGGER, Profile, coco80_to_coco91_class
+
+
+def run(
+    data,
+    model=None,
+    batch_size=32,
+    imgsz=640,
+    conf_thres=0.001,
+    iou_thres=0.6,
+    max_det=300,
+    task="val",
+    single_cls=False,
+    augment=False,
+    verbose=False,
+    save_json=False,
+    save_dir=Path("."),
+    dataloader=None,
+    loss_cfg=None,
+    compute_loss_flag=False,
+    rect=True,
+    max_nms=30000,
+    plots=False,
+    names=None,
+):
+    """Evaluate `model` (a DetectionModel handle) on `data` (dataset yaml/dict or a DataLoader).
+
+    Returns ((mp, mr, map50, map, *losses), per_class_maps, speeds_ms).
+    """
+    assert model is not None, "validator requires a DetectionModel"
+    stride = int(model.stride)
+
+    if dataloader is None:
+        data_dict = check_dataset(data)
+        names = names or data_dict["names"]
+        split = data_dict.get(task) or data_dict["val"]
+        dataset = DetectionDataset(
+            split,
+            imgsz=imgsz,
+            augment=False,
+            rect=rect,
+            stride=stride,
+            pad=0.5 if rect else 0.0,
+            batch_size=batch_size,
+            num_cls=model.spec.nc,
+            single_cls=single_cls,
+        )
+        dataloader = DataLoader(dataset, batch_size=batch_size, shuffle=False)
+    names = names or model.names
+    nc = 1 if single_cls else model.spec.nc
+
+    iouv = np.linspace(0.5, 0.95, 10)
+    niou = iouv.shape[0]
+
+    module = model.module
+    anchors = model.anchors_px
+    strides = model.spec.strides
+
+    @jax.jit
+    def forward(variables, imgs_u8):
+        x = imgs_u8.astype(jax.numpy.float32) / 255.0
+        feats = module.apply(variables, x, train=False)
+        pred = decode_predictions(feats, anchors, strides)
+        dets, n_valid = batched_nms(
+            pred,
+            conf_thres=conf_thres,
+            iou_thres=0.45 if task == "speed" else iou_thres,
+            multi_label=True,
+            max_det=max_det,
+            max_nms=max_nms,
+        )
+        return dets, n_valid, feats
+
+    stats = []
+    loss_sum = np.zeros(3)
+    n_batches = 0
+    confusion = ConfusionMatrix(nc=nc) if plots else None
+    jdict = []
+    class_map = coco80_to_coco91_class() if save_json else list(range(1000))
+    dt = (Profile(), Profile(), Profile())
+    seen = 0
+
+    for imgs, targets, mask, shapes in dataloader:
+        with dt[0]:
+            imgs_dev = jax.device_put(imgs)
+        with dt[1]:
+            dets, n_valid, feats = forward(model.variables, imgs_dev)
+            dets = np.asarray(jax.block_until_ready(dets))
+            n_valid = np.asarray(n_valid)
+        if compute_loss_flag and loss_cfg is not None:
+            _, comps = compute_loss([np.asarray(f) for f in feats], targets, mask, loss_cfg)
+            loss_sum += np.asarray(comps)
+            n_batches += 1
+
+        with dt[2]:
+            h, w = imgs.shape[1:3]
+            for si in range(imgs.shape[0]):
+                seen += 1
+                pred = dets[si, : n_valid[si]].copy()  # (n, 6) xyxy conf cls in letterbox space
+                lbls = targets[si][mask[si]]  # (m, 5) cls xywhn
+                nl = len(lbls)
+                shape_meta = shapes[si]
+
+                # labels -> native-space xyxy
+                if nl:
+                    tbox = xywh2xyxy(lbls[:, 1:5] * np.array([w, h, w, h], np.float32))
+                    if shape_meta is not None:
+                        (h0, w0), ratio_pad = shape_meta
+                        tbox = scale_boxes((h, w), tbox, (h0, w0), ratio_pad)
+                    labelsn = np.concatenate([lbls[:, 0:1], tbox], 1)
+                else:
+                    labelsn = np.zeros((0, 5), np.float32)
+
+                if len(pred):
+                    if single_cls:
+                        pred[:, 5] = 0
+                    if shape_meta is not None:
+                        (h0, w0), ratio_pad = shape_meta
+                        pred[:, :4] = np.asarray(scale_boxes((h, w), pred[:, :4], (h0, w0), ratio_pad))
+                    correct = process_batch(pred, labelsn, iouv)
+                else:
+                    correct = np.zeros((0, niou), bool)
+                stats.append((correct, pred[:, 4] if len(pred) else np.zeros(0), pred[:, 5] if len(pred) else np.zeros(0), labelsn[:, 0]))
+                if confusion is not None:
+                    confusion.process_batch(pred, labelsn)
+                if save_json and len(pred):
+                    _append_coco_json(jdict, pred, Path(dataloader.dataset.im_files[seen - 1]), class_map)
+
+    # aggregate
+    stats_cat = [np.concatenate([s[i] for s in stats], 0) for i in range(4)]
+    if len(stats_cat) and stats_cat[0].any():
+        tp, fp, p, r, f1, ap, ap_class = ap_per_class(*stats_cat)
+        ap50, ap_mean = ap[:, 0], ap.mean(1)
+        mp, mr, map50, map_ = p.mean(), r.mean(), ap50.mean(), ap_mean.mean()
+    else:
+        mp = mr = map50 = map_ = 0.0
+        ap_mean = np.zeros(nc)
+        ap_class = np.array([], int)
+
+    nt = np.bincount(stats_cat[3].astype(int), minlength=nc) if len(stats_cat) else np.zeros(nc)
+    LOGGER.info(f"{'all':>12}{seen:>11}{int(nt.sum()):>11}{mp:>11.3g}{mr:>11.3g}{map50:>11.3g}{map_:>11.3g}")
+    if verbose and nc > 1 and len(ap_class):
+        for i, c in enumerate(ap_class):
+            LOGGER.info(f"{str(names.get(int(c), c)):>12}{seen:>11}{int(nt[c]):>11}{p[i]:>11.3g}{r[i]:>11.3g}{ap50[i]:>11.3g}{ap_mean[i]:>11.3g}")
+
+    speeds = tuple(x.t / max(seen, 1) * 1e3 for x in dt)  # ms per image
+    LOGGER.info(f"Speed: {speeds[0]:.1f}ms pre, {speeds[1]:.1f}ms inference+NMS, {speeds[2]:.1f}ms post per image")
+
+    if save_json and jdict:
+        pred_json = Path(save_dir) / "predictions.json"
+        with open(pred_json, "w") as f:
+            json.dump(jdict, f)
+        LOGGER.info(f"COCO JSON saved to {pred_json}")
+        try:
+            map_, map50 = _coco_eval(pred_json, data)
+        except Exception as e:  # noqa: BLE001
+            LOGGER.warning(f"pycocotools eval not run: {e}")
+
+    losses = tuple(loss_sum / max(n_batches, 1))
+    maps = np.zeros(nc) + map_
+    for i, c in enumerate(ap_class):
+        maps[int(c)] = ap_mean[i]
+    return (mp, mr, map50, map_, *losses), maps, speeds
+
+
+def _append_coco_json(jdict, pred, path, class_map):
+    """Accumulate COCO-format detections: xywh top-left boxes (reference val.py:106-144)."""
+    image_id = int(path.stem) if path.stem.isnumeric() else path.stem
+    box = pred[:, :4].copy()
+    box[:, 2:] -= box[:, :2]  # xyxy -> xywh
+    for p, b in zip(pred.tolist(), box.tolist()):
+        jdict.append(
+            {
+                "image_id": image_id,
+                "category_id": class_map[int(p[5])],
+                "bbox": [round(x, 3) for x in b],
+                "score": round(p[4], 5),
+            }
+        )
+
+
+def _coco_eval(pred_json, data):
+    """Official COCOeval if pycocotools + annotations are available."""
+    from pycocotools.coco import COCO
+    from pycocotools.cocoeval import COCOeval
+
+    data_dict = check_dataset(data) if not isinstance(data, dict) else data
+    anno_json = str(Path(data_dict["path"]) / "annotations" / "instances_val2017.json")
+    anno = COCO(anno_json)
+    pred = anno.loadRes(str(pred_json))
+    ev = COCOeval(anno, pred, "bbox")
+    ev.evaluate()
+    ev.accumulate()
+    ev.summarize()
+    return ev.stats[0], ev.stats[1]  # mAP50-95, mAP50

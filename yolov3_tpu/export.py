@@ -1,0 +1,199 @@
+"""Model export — TPU-native serving formats.
+
+Counterpart of reference export.py (TorchScript/ONNX/OpenVINO/TensorRT/CoreML/
+TF/Paddle, export.py:164-653), re-based on the JAX serving stack:
+
+| format          | produces                  | runtime                    |
+|-----------------|---------------------------|----------------------------|
+| checkpoint      | orbax dir (native)        | yolov3_tpu                 |
+| stablehlo       | serialized StableHLO      | any PJRT plugin (TPU/GPU/CPU), IREE |
+| savedmodel      | TF SavedModel (jax2tf)    | TF Serving                 |
+| tflite          | .tflite (via jax2tf)      | LiteRT / edge              |
+| onnx            | .onnx                     | onnxruntime                |
+
+StableHLO is the first-class path: it is what jit produces anyway, needs no
+extra dependencies, and is the portable deployment artifact for XLA runtimes.
+TF-family and ONNX exports are gated on their (optional) packages, mirroring
+the reference's per-format optional imports. Each exporter embeds
+{stride, names, imgsz} metadata like the reference (export.py:744).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+from yolov3_tpu.utils.general import LOGGER, colorstr, file_size
+
+EXPORT_FORMATS = ("checkpoint", "stablehlo", "savedmodel", "tflite", "onnx")
+
+
+def try_export(fn):
+    """Decorator: time + log + catch per-format failures (reference export.py:138-161)."""
+
+    def wrapper(*args, **kwargs):
+        prefix = colorstr(f"{fn.__name__.replace('export_', '')}:")
+        t = time.time()
+        try:
+            out = fn(*args, **kwargs)
+            LOGGER.info(f"{prefix} export success, {time.time() - t:.1f}s, saved as {out} ({file_size(out):.1f} MB)")
+            return out
+        except Exception as e:  # noqa: BLE001
+            LOGGER.warning(f"{prefix} export failure {time.time() - t:.1f}s: {e}")
+            return None
+
+    return wrapper
+
+
+def _make_serving_fn(model, include_nms=False, conf_thres=0.25, iou_thres=0.45, max_det=300):
+    """Pure serving function: uint8 NHWC -> decoded (or NMS'd) detections."""
+    import jax.numpy as jnp
+
+    from yolov3_tpu.models.detect_head import decode_predictions
+    from yolov3_tpu.ops.nms import batched_nms
+
+    module, anchors, strides = model.module, model.anchors_px, model.spec.strides
+    variables = model.variables
+
+    def serve(imgs_u8):
+        x = imgs_u8.astype(jnp.float32) / 255.0
+        feats = module.apply(variables, x, train=False)
+        pred = decode_predictions(feats, anchors, strides)
+        if include_nms:
+            return batched_nms(pred, conf_thres=conf_thres, iou_thres=iou_thres, max_det=max_det, max_nms=8192)
+        return pred
+
+    return serve
+
+
+def _write_metadata(path, model, imgsz):
+    meta = {"stride": int(model.stride), "names": {int(k): v for k, v in model.names.items()}, "imgsz": imgsz}
+    Path(path).with_suffix(".meta.json").write_text(json.dumps(meta))
+
+
+@try_export
+def export_checkpoint(model, file, imgsz=640):
+    """Native orbax checkpoint (inference-only)."""
+    from yolov3_tpu.utils.checkpoint import save_checkpoint
+
+    out = Path(file).with_suffix("") if Path(file).suffix else Path(file)
+    save_checkpoint(
+        out,
+        {"params": model.variables["params"], "batch_stats": model.variables.get("batch_stats", {})},
+        spec=model.spec,
+        meta={"names": {int(k): v for k, v in model.names.items()}, "stripped": True},
+    )
+    return out
+
+
+@try_export
+def export_stablehlo(model, file, imgsz=640, batch=1, include_nms=False):
+    """Serialized StableHLO artifact via jax.export — runs on any PJRT backend."""
+    import jax
+    from jax import export as jexport
+
+    serve = _make_serving_fn(model, include_nms=include_nms)
+    spec = jax.ShapeDtypeStruct((batch, imgsz, imgsz, 3), np.uint8)
+    exported = jexport.export(jax.jit(serve))(spec)
+    out = Path(file).with_suffix(".stablehlo")
+    out.write_bytes(exported.serialize())
+    _write_metadata(out, model, imgsz)
+    return out
+
+
+@try_export
+def export_savedmodel(model, file, imgsz=640, batch=1, include_nms=False):
+    """TF SavedModel via jax2tf (requires tensorflow)."""
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+
+    serve = _make_serving_fn(model, include_nms=include_nms)
+    tf_fn = tf.function(
+        jax2tf.convert(serve, with_gradient=False),
+        input_signature=[tf.TensorSpec((batch, imgsz, imgsz, 3), tf.uint8)],
+        autograph=False,
+    )
+    out = str(Path(file).with_suffix("")) + "_savedmodel"
+    module = tf.Module()
+    module.serve = tf_fn
+    tf.saved_model.save(module, out)
+    _write_metadata(Path(out), model, imgsz)
+    return out
+
+
+@try_export
+def export_tflite(model, file, imgsz=640, batch=1, include_nms=False):
+    """TFLite flatbuffer via the SavedModel path (requires tensorflow)."""
+    import tensorflow as tf
+
+    sm = export_savedmodel(model, file, imgsz, batch, include_nms)
+    assert sm is not None, "savedmodel export failed"
+    converter = tf.lite.TFLiteConverter.from_saved_model(str(sm))
+    converter.target_spec.supported_ops = [tf.lite.OpsSet.TFLITE_BUILTINS, tf.lite.OpsSet.SELECT_TF_OPS]
+    out = Path(file).with_suffix(".tflite")
+    out.write_bytes(converter.convert())
+    _write_metadata(out, model, imgsz)
+    return out
+
+
+@try_export
+def export_onnx(model, file, imgsz=640, batch=1):
+    """ONNX via tf2onnx on the SavedModel (requires tensorflow + tf2onnx)."""
+    import tf2onnx  # noqa: F401
+
+    sm = export_savedmodel(model, file, imgsz, batch)
+    assert sm is not None, "savedmodel export failed"
+    out = Path(file).with_suffix(".onnx")
+    import subprocess
+    import sys
+
+    subprocess.run(
+        [sys.executable, "-m", "tf2onnx.convert", "--saved-model", str(sm), "--output", str(out)],
+        check=True,
+    )
+    _write_metadata(out, model, imgsz)
+    return out
+
+
+def run(weights="yolov3-tiny", include=("checkpoint", "stablehlo"), imgsz=640, batch=1, nms=False,
+        out_dir="runs/export"):
+    """Export a model to the requested formats; returns {format: path|None}."""
+    from yolov3_tpu.cli.val import load_weights
+
+    model = load_weights(weights)
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    base = out_dir / model.spec.name
+    results = {}
+    for fmt in include:
+        assert fmt in EXPORT_FORMATS, f"unknown export format {fmt}; choose from {EXPORT_FORMATS}"
+        fn = {
+            "checkpoint": lambda: export_checkpoint(model, base, imgsz),
+            "stablehlo": lambda: export_stablehlo(model, base, imgsz, batch, nms),
+            "savedmodel": lambda: export_savedmodel(model, base, imgsz, batch, nms),
+            "tflite": lambda: export_tflite(model, base, imgsz, batch, nms),
+            "onnx": lambda: export_onnx(model, base, imgsz, batch),
+        }[fmt]
+        results[fmt] = fn()
+    return results
+
+
+def main():
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--weights", default="yolov3-tiny")
+    p.add_argument("--include", nargs="+", default=["checkpoint", "stablehlo"])
+    p.add_argument("--imgsz", type=int, default=640)
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--nms", action="store_true", help="embed NMS in the exported graph")
+    p.add_argument("--out-dir", default="runs/export")
+    a = p.parse_args()
+    run(a.weights, a.include, a.imgsz, a.batch, a.nms, a.out_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,308 @@
+"""Training engine: the `train(...)` entry mirroring reference train.py:105-530.
+
+Flow: run dirs -> data -> model -> (autoanchor) -> optimizer/schedules ->
+jitted sharded train step -> epoch loop (per-epoch EMA validation, fitness,
+checkpointing, early stop) -> final strip + best-checkpoint validation.
+
+TPU re-design highlights vs the reference:
+ - the whole optimizer step (incl. warmup LR/momentum interpolation the
+   reference does in python per batch, train.py:383-391) is compiled into the
+   step as schedule functions of the global step counter;
+ - batches are fixed-shape, so the epoch loop never recompiles (the
+   reference's multi-scale resize, train.py:394-399, becomes an opt-in
+   bucketed mode);
+ - rank logic: jax.process_index()==0 replaces RANK checks; there is no DDP
+   wrapper, no gradient-averaging compensation, no stop-flag broadcast
+   (fitness is computed identically on every host).
+"""
+
+from __future__ import annotations
+
+import csv
+import math
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from yolov3_tpu.data.dataset_yaml import check_dataset
+from yolov3_tpu.data.datasets import DataLoader, DetectionDataset
+from yolov3_tpu.eval import validator
+from yolov3_tpu.eval.metrics import fitness
+from yolov3_tpu.models.detection import DetectionModel
+from yolov3_tpu.models.spec import ModelSpec
+from yolov3_tpu.parallel.mesh import create_mesh, replicate, shard_batch
+from yolov3_tpu.train.loss import LossConfig
+from yolov3_tpu.train.optim import EarlyStopping, build_optimizer
+from yolov3_tpu.train.step import init_train_state, make_train_step
+from yolov3_tpu.utils.callbacks import Callbacks
+from yolov3_tpu.utils.checkpoint import load_checkpoint, save_checkpoint, strip_checkpoint
+from yolov3_tpu.utils.general import LOGGER, colorstr, increment_path, init_seeds, yaml_load, yaml_save
+
+RESULTS_KEYS = (
+    "epoch", "train/box_loss", "train/obj_loss", "train/cls_loss",
+    "metrics/precision", "metrics/recall", "metrics/mAP_0.5", "metrics/mAP_0.5:0.95",
+    "val/box_loss", "val/obj_loss", "val/cls_loss", "x/lr0", "x/lr1",
+)  # fmt: skip
+
+
+def train(
+    data,
+    cfg="yolov3-tiny",
+    hyp=None,
+    weights=None,
+    epochs=100,
+    batch_size=16,
+    imgsz=640,
+    optimizer="sgd",
+    cos_lr=False,
+    noautoanchor=False,
+    noval=False,
+    nosave=False,
+    single_cls=False,
+    patience=100,
+    save_dir=None,
+    project="runs/train",
+    name="exp",
+    exist_ok=False,
+    seed=0,
+    max_labels=300,
+    callbacks=None,
+    resume=False,
+    save_period=-1,
+    rect_val=True,
+    image_weights=False,
+):
+    """Train a detection model. Returns (best_fitness, results, save_dir)."""
+    callbacks = callbacks or Callbacks()
+    t_start = time.time()
+
+    # dirs + config snapshot (reference train.py:157-172)
+    save_dir = Path(save_dir) if save_dir else increment_path(Path(project) / name, exist_ok=exist_ok)
+    wdir = save_dir / "weights"
+    wdir.mkdir(parents=True, exist_ok=True)
+    if isinstance(hyp, (str, Path)):
+        hyp = yaml_load(hyp)
+    hyp = dict(hyp or yaml_load(Path(__file__).parents[1] / "data" / "hyps" / "scratch-low.yaml"))
+    yaml_save(save_dir / "hyp.yaml", hyp)
+    init_seeds(seed)
+    callbacks.run("on_pretrain_routine_start")
+
+    # data
+    data_dict = check_dataset(data)
+    names = data_dict["names"]
+    nc = 1 if single_cls else data_dict["nc"]
+
+    # model (reference train.py:199-213)
+    if resume:
+        model, start_epoch, best_fitness = _resume_model(save_dir)
+    elif weights:
+        from yolov3_tpu.utils.checkpoint import load_model_from_checkpoint
+
+        model = load_model_from_checkpoint(weights)
+        if model.spec.nc != nc:
+            LOGGER.info(f"Overriding checkpoint nc={model.spec.nc} with nc={nc}: re-init Detect head")
+            model = _transfer_to_nc(model, cfg, nc)
+        start_epoch, best_fitness = 0, 0.0
+    else:
+        model = DetectionModel.from_config(cfg, nc=nc, imgsz=256)
+        start_epoch, best_fitness = 0, 0.0
+    model.names = names
+    stride = int(model.stride)
+    nl = model.spec.nl
+
+    # datasets
+    train_ds = DetectionDataset(
+        data_dict["train"], imgsz=imgsz, augment=True, hyp=hyp, rect=False, stride=stride,
+        batch_size=batch_size, num_cls=nc, max_labels=max_labels, single_cls=single_cls,
+    )
+    train_loader = DataLoader(train_ds, batch_size=batch_size, shuffle=True, max_labels=max_labels,
+                              seed=seed, drop_last=True)
+    steps_per_epoch = max(len(train_loader), 1)
+
+    val_loader = None
+    if not noval and jax.process_index() == 0:
+        val_ds = DetectionDataset(
+            data_dict.get("val") or data_dict["train"], imgsz=imgsz, augment=False, rect=rect_val,
+            stride=stride, pad=0.5, batch_size=batch_size, num_cls=nc, max_labels=max_labels,
+            single_cls=single_cls,
+        )
+        val_loader = DataLoader(val_ds, batch_size=batch_size, shuffle=False, max_labels=max_labels)
+
+    # autoanchor (reference train.py:314-316)
+    if not noautoanchor and not resume:
+        from yolov3_tpu.utils.autoanchor import check_anchors
+
+        new_anchors = check_anchors(train_ds, model.spec, thr=hyp.get("anchor_t", 4.0), imgsz=imgsz)
+        if new_anchors is not None:
+            model = _with_new_anchors(model, new_anchors)
+
+    # hyp gain scaling (reference train.py:327-329)
+    hyp = dict(hyp)
+    hyp["box"] = hyp.get("box", 0.05) * 3 / nl
+    hyp["cls"] = hyp.get("cls", 0.5) * nc / 80 * 3 / nl
+    hyp["obj"] = hyp.get("obj", 1.0) * (imgsz / 640) ** 2 * 3 / nl
+    loss_cfg = LossConfig.from_model(model.spec, hyp)
+
+    # optimizer + schedules + step
+    tx, schedules, accumulate = build_optimizer(
+        optimizer, model.params, hyp, epochs, steps_per_epoch, batch_size, cos_lr=cos_lr
+    )
+    mesh = create_mesh()
+    step_fn = make_train_step(model.module, loss_cfg, tx, mesh=mesh)
+    state = init_train_state(model, tx)
+    if resume:
+        last = Path(save_dir) / "weights" / "last"
+        meta = yaml_load(last / "checkpoint.yaml")
+        if meta.get("stripped"):
+            # finished runs hold inference-only checkpoints (strip_checkpoint):
+            # restore weights, re-seed EMA, start the optimizer fresh — matches
+            # the reference's tolerance of optimizer-less resumes
+            sub, _ = load_checkpoint(
+                last, target={"params": state["params"], "batch_stats": state["batch_stats"]}
+            )
+            from yolov3_tpu.train.optim import EMA
+
+            state["params"], state["batch_stats"] = sub["params"], sub["batch_stats"]
+            state["ema"] = EMA({"params": sub["params"], "batch_stats": sub["batch_stats"]}).state
+        else:
+            # restore with the freshly-built state as target so optax namedtuple
+            # structure survives the orbax round-trip
+            state, _ = load_checkpoint(last, target=state)
+    state = replicate(mesh, state)
+
+    stopper = EarlyStopping(patience=patience)
+    results_file = save_dir / "results.csv"
+    LOGGER.info(
+        f"Image sizes {imgsz} train/val, mesh {mesh.shape}, "
+        f"Logging to {colorstr('bold', str(save_dir))}, starting training for {epochs} epochs..."
+    )
+    callbacks.run("on_train_start")
+
+    final_epoch = start_epoch
+    results = (0, 0, 0, 0, 0, 0, 0)
+    maps = np.zeros(nc)
+    for epoch in range(start_epoch, epochs):
+        final_epoch = epoch
+        callbacks.run("on_train_epoch_start")
+        if image_weights:
+            # resample dataset indices by (1 - per-class mAP)^2 (reference train.py:360-363)
+            from yolov3_tpu.utils.general import labels_to_class_weights, labels_to_image_weights
+
+            cw = labels_to_class_weights(train_ds.labels, nc) * (1 - maps) ** 2 / nc
+            iw = labels_to_image_weights(train_ds.labels, nc=nc, class_weights=cw)
+            rng_iw = np.random.default_rng(seed + epoch)
+            train_loader.set_indices(rng_iw.choice(len(train_ds), size=len(train_ds), p=iw / iw.sum()))
+        mloss = np.zeros(3)
+        nb = 0
+        t_epoch = time.time()
+        for imgs, targets, mask, _ in train_loader:
+            callbacks.run("on_train_batch_start")
+            batch = shard_batch(mesh, (imgs, targets, mask))
+            state, metrics = step_fn(state, *batch)
+            mloss = (mloss * nb + np.array([float(metrics["lbox"]), float(metrics["lobj"]), float(metrics["lcls"])])) / (nb + 1)
+            nb += 1
+            callbacks.run("on_train_batch_end")
+        lr_now = float(schedules.lr(np.float32(int(state["step"]))))
+        LOGGER.info(
+            f"epoch {epoch + 1}/{epochs}: box {mloss[0]:.4f} obj {mloss[1]:.4f} cls {mloss[2]:.4f} "
+            f"lr {lr_now:.5f} ({time.time() - t_epoch:.1f}s)"
+        )
+        callbacks.run("on_train_epoch_end", epoch=epoch)
+
+        # per-epoch validation with EMA weights (reference train.py:446-459)
+        fi = 0.0
+        if val_loader is not None:
+            ema_vars = jax.tree.map(np.asarray, state["ema"]["ema"])
+            ema_model = model.replace_variables(dict(ema_vars))
+            results, maps, _ = validator.run(
+                data_dict, model=ema_model, batch_size=batch_size, imgsz=imgsz,
+                dataloader=val_loader, loss_cfg=loss_cfg, compute_loss_flag=True, names=names,
+                single_cls=single_cls,
+            )
+            fi = float(fitness(np.array(results).reshape(1, -1)))
+        callbacks.run("on_fit_epoch_end", epoch=epoch, fitness=fi)
+
+        _write_results_csv(results_file, epoch, mloss, results, lr_now)
+
+        # checkpointing (reference train.py:469-489)
+        if not nosave and jax.process_index() == 0:
+            host_state = jax.tree.map(np.asarray, state)
+            meta = {
+                "epoch": epoch, "best_fitness": max(best_fitness, fi),
+                "names": {int(k): v for k, v in names.items()},
+                "hyp": hyp, "results": [float(x) for x in results],
+            }
+            save_checkpoint(wdir / "last", host_state, spec=model.spec, meta=meta)
+            if fi >= best_fitness:
+                best_fitness = fi
+                save_checkpoint(wdir / "best", host_state, spec=model.spec, meta=meta)
+            if save_period > 0 and epoch % save_period == 0:
+                save_checkpoint(wdir / f"epoch{epoch}", host_state, spec=model.spec, meta=meta)
+            callbacks.run("on_model_save", epoch=epoch)
+
+        if stopper(epoch, fi):
+            LOGGER.info(f"EarlyStopping: no improvement in {patience} epochs, stopping at epoch {epoch}")
+            break
+
+    # finalize (reference train.py:502-527)
+    if not nosave and jax.process_index() == 0:
+        for f in (wdir / "last", wdir / "best"):
+            if f.exists():
+                strip_checkpoint(f)
+    LOGGER.info(f"\n{final_epoch - start_epoch + 1} epochs completed in {(time.time() - t_start) / 3600:.3f} hours.")
+    callbacks.run("on_train_end")
+    callbacks.run("teardown")
+    return best_fitness, results, save_dir
+
+
+def _write_results_csv(path, epoch, mloss, results, lr):
+    new = not path.exists()
+    with open(path, "a", newline="") as f:
+        w = csv.writer(f)
+        if new:
+            w.writerow(RESULTS_KEYS)
+        vals = results if len(results) >= 7 else tuple(results) + (0,) * (7 - len(results))
+        w.writerow([epoch, *[f"{x:.5f}" for x in mloss], *[f"{float(v):.5f}" for v in vals[:7]], f"{lr:.6f}", f"{lr:.6f}"])
+
+
+def _resume_model(save_dir):
+    """Re-hydrate model + train state from save_dir/weights/last (reference train.py:642-654)."""
+    from yolov3_tpu.utils.checkpoint import load_model_from_checkpoint
+
+    last = Path(save_dir) / "weights" / "last"
+    assert last.exists(), f"resume checkpoint not found at {last}"
+    model = load_model_from_checkpoint(last)
+    from yolov3_tpu.utils.general import yaml_load
+
+    meta = yaml_load(last / "checkpoint.yaml")
+    start_epoch = int(meta.get("epoch", -1)) + 1
+    best_fitness = float(meta.get("best_fitness", 0.0))
+    LOGGER.info(f"Resuming training from {last} at epoch {start_epoch}")
+    return model, start_epoch, best_fitness
+
+
+def _with_new_anchors(model, anchors_px):
+    """Swap spec anchors (pixel units) preserving weights."""
+    import dataclasses
+
+    nl, na = model.spec.nl, model.spec.na
+    new_anchors = tuple(tuple(float(v) for v in anchors_px.reshape(nl, na * 2)[i]) for i in range(nl))
+    spec = dataclasses.replace(model.spec, anchors=new_anchors)
+    return DetectionModel(spec, model.variables, model.dtype, model.names)
+
+
+def _transfer_to_nc(model, cfg, nc):
+    """Partial transfer: keep backbone weights, re-init Detect for a new class count
+    (intersect_dicts parity, reference train.py:207-211)."""
+    new = DetectionModel.from_config(cfg or model.spec.name, nc=nc, imgsz=256)
+    old_p = model.variables["params"]
+    new_p = dict(new.variables["params"])
+    for k in new_p:
+        if k in old_p and jax.tree.all(
+            jax.tree.map(lambda a, b: a.shape == b.shape, old_p[k], new_p[k])
+        ):
+            new_p[k] = old_p[k]
+    variables = {"params": new_p, "batch_stats": model.variables.get("batch_stats", new.variables["batch_stats"])}
+    return DetectionModel(new.spec, variables, new.dtype, new.names)

@@ -58,7 +58,7 @@ class Schedules(NamedTuple):
     momentum: Any
 
 
-def build_schedules(hyp, epochs, steps_per_epoch, batch_size, nbs=64, cos_lr=False):
+def build_schedules(hyp, epochs, steps_per_epoch, batch_size, nbs=64, cos_lr=False, min_warmup_steps=100):
     """Pure functions of the global optimizer step implementing the reference's
     warmup + linear/one-cycle schedule (train.py:241-249, 339, 383-391)."""
     lr0 = hyp.get("lr0", 0.01)
@@ -68,7 +68,8 @@ def build_schedules(hyp, epochs, steps_per_epoch, batch_size, nbs=64, cos_lr=Fal
     warmup_bias_lr = hyp.get("warmup_bias_lr", 0.1)
     momentum = hyp.get("momentum", 0.937)
 
-    nw = max(round(warmup_epochs * steps_per_epoch), 100)  # warmup steps
+    nw = max(round(warmup_epochs * steps_per_epoch), min_warmup_steps)  # warmup steps
+    nw = max(nw, 1)
 
     def lf(epoch):  # epoch -> decay fraction
         if cos_lr:
@@ -131,22 +132,29 @@ def sgd_with_schedules(schedules: Schedules, weight_decay=0.0005, nesterov=True,
     return tx
 
 
-def build_optimizer(name, params, hyp, epochs, steps_per_epoch, batch_size, nbs=64, cos_lr=False):
+def build_optimizer(name, params, hyp, epochs, steps_per_epoch, batch_size, nbs=64, cos_lr=False,
+                    min_warmup_steps=100):
     """smart_optimizer analog: SGD(nesterov)/Adam/AdamW with grouped decay.
 
     decay is scaled by batch_size * accumulate / nbs like the reference
     (torch_utils.py:215, train.py:236-238)."""
     accumulate = max(round(nbs / batch_size), 1)
     weight_decay = hyp.get("weight_decay", 0.0005) * batch_size * accumulate / nbs
-    sch = build_schedules(hyp, epochs, steps_per_epoch, batch_size, nbs, cos_lr)
+    sch = build_schedules(hyp, epochs, steps_per_epoch, batch_size, nbs, cos_lr, min_warmup_steps)
 
     if name.lower() in ("sgd", ""):
-        tx = sgd_with_schedules(sch, weight_decay=weight_decay, nesterov=True, accumulate=accumulate)
+        tx = optax.chain(
+            optax.clip_by_global_norm(10.0),  # reference clips grad norm 10.0 (train.py:417)
+            sgd_with_schedules(sch, weight_decay=weight_decay, nesterov=True, accumulate=1),
+        )
+        if accumulate > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=accumulate)
     elif name.lower() in ("adam", "adamw"):
         labels = make_param_labels(params)
         mask = jax.tree.map(lambda l: l == "weight", labels)
         beta1 = hyp.get("momentum", 0.937)
         tx = optax.chain(
+            optax.clip_by_global_norm(10.0),
             optax.add_decayed_weights(weight_decay, mask=mask),
             optax.scale_by_adam(b1=beta1, b2=0.999),
             optax.scale_by_schedule(lambda s: -sch.lr(s.astype(jnp.float32))),
@@ -165,7 +173,12 @@ class EMA:
     def __init__(self, variables, decay=0.9999, tau=2000.0):
         self.decay = decay
         self.tau = tau
-        self.state = {"ema": jax.tree.map(jnp.asarray, variables), "updates": jnp.zeros((), jnp.int32)}
+        # copy (not alias) the initial weights: the EMA tree must own distinct
+        # buffers or donation of the train state would alias params and EMA
+        self.state = {
+            "ema": jax.tree.map(lambda x: jnp.array(x, copy=True), variables),
+            "updates": jnp.zeros((), jnp.int32),
+        }
 
     @staticmethod
     def update(state, variables, decay=0.9999, tau=2000.0):

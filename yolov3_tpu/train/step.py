@@ -1,0 +1,111 @@
+"""Jitted SPMD train step: forward + loss + grad + optimizer + EMA in one XLA program.
+
+The reference's hot loop (reference train.py:377-435) does ~10 separate
+device interactions per step (H2D copy, autocast forward, loss, scaled
+backward, unscale, clip, step, EMA update, zero_grad). Here the whole step is
+ONE compiled program over a `Mesh(("data",))`:
+
+ - batch enters sharded on the data axis; params/opt-state replicated;
+ - uint8 -> f32 /255 normalization happens on-device (H2D moves bytes, not
+   floats — 4x less PCIe/ICI traffic than the reference's float copy);
+ - gradient all-reduce is inserted by XLA because the loss is a global-batch
+   reduction (no smart_DDP, no loss *= WORLD_SIZE compensation,
+   train.py:405-406);
+ - BatchNorm batch stats are global-batch by construction under pjit =
+   SyncBatchNorm semantics without the opt-in conversion (train.py:270-272);
+ - bf16 compute policy replaces AMP/GradScaler (no scaler: bf16 keeps fp32
+   exponent range);
+ - EMA is a pytree lerp inside the same program (no separate pass).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from yolov3_tpu.parallel.mesh import batch_sharding, replicated
+from yolov3_tpu.train.loss import LossConfig, compute_loss
+from yolov3_tpu.train.optim import EMA
+
+
+def normalize_images(imgs):
+    """uint8 NHWC -> float32 [0,1] on device (reference does /255 on host-copied floats)."""
+    return imgs.astype(jnp.float32) / 255.0
+
+
+def make_train_step(module, loss_cfg: LossConfig, tx, mesh=None, ema_decay=0.9999, multi_scale_sizes=None):
+    """Build the jitted train step.
+
+    State pytree: {params, batch_stats, opt, ema:{ema, updates}, step}.
+    Returns step_fn(state, imgs_u8, targets, mask[, scale_idx]) -> (state, metrics).
+    """
+
+    def train_step(state, imgs, targets, mask):
+        x = normalize_images(imgs)
+
+        def loss_fn(params):
+            feats, mut = module.apply(
+                {"params": params, "batch_stats": state["batch_stats"]}, x, train=True, mutable=["batch_stats"]
+            )
+            loss, comps = compute_loss(list(feats), targets, mask, loss_cfg)
+            return loss, (mut["batch_stats"], comps)
+
+        (loss, (new_bstats, comps)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state["params"])
+        updates, new_opt = tx.update(grads, state["opt"], state["params"])
+        new_params = optax.apply_updates(state["params"], updates)
+        new_ema = EMA.update(
+            state["ema"], {"params": new_params, "batch_stats": new_bstats}, decay=ema_decay
+        )
+        new_state = {
+            "params": new_params,
+            "batch_stats": new_bstats,
+            "opt": new_opt,
+            "ema": new_ema,
+            "step": state["step"] + 1,
+        }
+        metrics = {"loss": loss, "lbox": comps[0], "lobj": comps[1], "lcls": comps[2]}
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    repl = replicated(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, data, data, data),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def make_eval_step(module, mesh=None):
+    """Jitted eval forward returning raw feats (decode happens per-imgsz outside)."""
+
+    def eval_step(variables, imgs):
+        x = normalize_images(imgs)
+        return module.apply(variables, x, train=False)
+
+    if mesh is None:
+        return jax.jit(eval_step)
+    repl = replicated(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(eval_step, in_shardings=(repl, data), out_shardings=(data,))
+
+
+def init_train_state(model, tx, key=None):
+    """Build the initial train-state pytree from a DetectionModel handle."""
+    variables = model.variables
+    opt_state = tx.init(variables["params"])
+    ema = EMA(variables).state
+    return {
+        "params": variables["params"],
+        "batch_stats": variables.get("batch_stats", {}),
+        "opt": opt_state,
+        "ema": ema,
+        "step": jnp.zeros((), jnp.int32),
+    }
