@@ -74,6 +74,9 @@ def run(
         model = load_model_from_checkpoint(weights)
     else:
         model = DetectionModel.from_config(str(weights), imgsz=64)
+    from yolov3_tpu.models.detection import optimize_for_inference
+
+    model = optimize_for_inference(model)
     stride = int(model.stride)
     names = model.names
     imgsz = check_img_size(list(imgsz) if not isinstance(imgsz, int) else [imgsz] * 2, s=stride)

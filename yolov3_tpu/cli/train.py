@@ -33,6 +33,10 @@ def parse_opt(known=False):
     parser.add_argument("--optimizer", type=str, choices=["sgd", "adam", "adamw"], default="sgd")
     parser.add_argument("--cos-lr", action="store_true")
     parser.add_argument("--resume", nargs="?", const=True, default=False)
+    parser.add_argument("--evolve", type=int, nargs="?", const=300, default=None,
+                        help="evolve hyperparameters for N generations")
+    parser.add_argument("--multi-scale", action="store_true", help="vary imgsz +/-50%% (bucketed)")
+    parser.add_argument("--image-weights", action="store_true")
     parser.add_argument("--patience", type=int, default=100)
     parser.add_argument("--project", default="runs/train")
     parser.add_argument("--name", default="exp")
@@ -63,6 +67,27 @@ def main(opt=None):
             last = get_latest_run(opt.project)
             assert last, f"no checkpoint found under {opt.project} to resume from"
             save_dir = Path(last).parent.parent  # .../exp/weights/last -> .../exp
+
+    if opt.evolve:  # genetic hyp search (reference train.py:689-798)
+        from yolov3_tpu.train.evolve import evolve
+        from yolov3_tpu.utils.general import yaml_load as _yl
+
+        base_hyp = _yl(check_yaml(opt.hyp)) if opt.hyp else _yl(
+            Path(__file__).parents[1] / "data" / "hyps" / "scratch-low.yaml"
+        )
+
+        def train_fn(hyp_gen):
+            _, results, _ = train(
+                data=check_yaml(opt.data), cfg=opt.cfg, hyp=hyp_gen, epochs=opt.epochs,
+                batch_size=opt.batch_size, imgsz=opt.imgsz, noautoanchor=True, nosave=True,
+                single_cls=opt.single_cls, project=opt.project, name="evolve_gen", exist_ok=True,
+                seed=opt.seed, patience=opt.patience,
+            )
+            return results[:4]
+
+        evolve(train_fn, base_hyp, generations=opt.evolve, save_dir=Path(opt.project) / "evolve")
+        return
+
     train(
         save_dir=save_dir,
         data=check_yaml(opt.data),
@@ -85,6 +110,8 @@ def main(opt=None):
         seed=opt.seed,
         resume=bool(opt.resume),
         save_period=opt.save_period,
+        multi_scale=opt.multi_scale,
+        image_weights=opt.image_weights,
     )
 
 

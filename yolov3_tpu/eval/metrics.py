@@ -42,7 +42,7 @@ def compute_ap(recall, precision):
     return ap, mpre, mrec
 
 
-def ap_per_class(tp, conf, pred_cls, target_cls, eps=1e-16):
+def ap_per_class(tp, conf, pred_cls, target_cls, eps=1e-16, curves=False):
     """Per-class AP at each IoU threshold + P/R/F1 at the max-F1 operating point.
 
     Args:
@@ -68,6 +68,7 @@ def ap_per_class(tp, conf, pred_cls, target_cls, eps=1e-16):
     ap = np.zeros((nc, tp.shape[1]))
     p_curve = np.zeros((nc, 1000))
     r_curve = np.zeros((nc, 1000))
+    py = []  # PR curve samples at IoU 0.5 per class
     for ci, c in enumerate(unique_classes):
         sel = pred_cls == c
         n_l = nt[ci]
@@ -81,14 +82,19 @@ def ap_per_class(tp, conf, pred_cls, target_cls, eps=1e-16):
         precision = tpc / (tpc + fpc)
         p_curve[ci] = np.interp(-px, -conf[sel], precision[:, 0], left=1)
         for j in range(tp.shape[1]):
-            ap[ci, j], _, _ = compute_ap(recall[:, j], precision[:, j])
+            ap[ci, j], mpre, mrec = compute_ap(recall[:, j], precision[:, j])
+            if j == 0:
+                py.append(np.interp(px, mrec, mpre))
 
     f1_curve = 2 * p_curve * r_curve / (p_curve + r_curve + eps)
     i = smooth(f1_curve.mean(0), 0.1).argmax()  # max-F1 operating point
     p, r, f1 = p_curve[:, i], r_curve[:, i], f1_curve[:, i]
     tp_count = (r * nt).round()
     fp_count = (tp_count / (p + eps) - tp_count).round()
-    return tp_count, fp_count, p, r, f1, ap, unique_classes.astype(int)
+    base = (tp_count, fp_count, p, r, f1, ap, unique_classes.astype(int))
+    if curves:
+        return base + ((px, py, p_curve, r_curve, f1_curve),)
+    return base
 
 
 def process_batch(detections, labels, iouv):

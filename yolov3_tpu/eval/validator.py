@@ -158,9 +158,20 @@ def run(
     # aggregate
     stats_cat = [np.concatenate([s[i] for s in stats], 0) for i in range(4)]
     if len(stats_cat) and stats_cat[0].any():
-        tp, fp, p, r, f1, ap, ap_class = ap_per_class(*stats_cat)
+        tp, fp, p, r, f1, ap, ap_class, curves = ap_per_class(*stats_cat, curves=True)
         ap50, ap_mean = ap[:, 0], ap.mean(1)
         mp, mr, map50, map_ = p.mean(), r.mean(), ap50.mean(), ap_mean.mean()
+        if plots:
+            from yolov3_tpu.utils.plots import plot_confusion_matrix, plot_mc_curve, plot_pr_curve
+
+            px, py, p_curve, r_curve, f1_curve = curves
+            cls_names = [str(names.get(int(c), c)) for c in ap_class]
+            plot_pr_curve(px, py, ap, Path(save_dir) / "PR_curve.png", cls_names)
+            plot_mc_curve(px, f1_curve[: len(cls_names)], Path(save_dir) / "F1_curve.png", cls_names, ylabel="F1")
+            plot_mc_curve(px, p_curve[: len(cls_names)], Path(save_dir) / "P_curve.png", cls_names, ylabel="Precision")
+            plot_mc_curve(px, r_curve[: len(cls_names)], Path(save_dir) / "R_curve.png", cls_names, ylabel="Recall")
+            if confusion is not None:
+                plot_confusion_matrix(confusion.matrix, cls_names, Path(save_dir) / "confusion_matrix.png")
     else:
         mp = mr = map50 = map_ = 0.0
         ap_mean = np.zeros(nc)

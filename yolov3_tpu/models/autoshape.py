@@ -30,7 +30,9 @@ class AutoShape:
     max_det = 1000
 
     def __init__(self, model):
-        self.model = model
+        from yolov3_tpu.models.detection import optimize_for_inference
+
+        self.model = optimize_for_inference(model) if hasattr(model, "fuse") else model
         self.names = model.names
         self.stride = int(model.stride)
         self._infer = None

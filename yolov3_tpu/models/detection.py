@@ -32,15 +32,19 @@ from yolov3_tpu.nn.modules import MODULE_REGISTRY, MULTI_INPUT_OPS
 from yolov3_tpu.utils.general import LOGGER
 
 
-def _accepts_dtype(cls):
-    return any(f.name == "dtype" for f in dataclasses.fields(cls))
+def _fields(cls):
+    return {f.name for f in dataclasses.fields(cls)}
 
 
 class YOLOGraph(nn.Module):
-    """Executes a ModelSpec layer graph. Returns the tuple of raw Detect feature maps."""
+    """Executes a ModelSpec layer graph. Returns the tuple of raw Detect feature maps.
+
+    `fused=True` builds the inference-only graph with BN folded into conv
+    weights (see models/fuse.py)."""
 
     spec: ModelSpec
     dtype: Any = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -62,7 +66,12 @@ class YOLOGraph(nn.Module):
                 inp = out if ls.f[0] == prev_i else y[ls.f[0]]
 
             cls = MODULE_REGISTRY[ls.op]
-            kwargs = {"dtype": self.dtype} if _accepts_dtype(cls) else {}
+            fields = _fields(cls)
+            kwargs = {}
+            if "dtype" in fields:
+                kwargs["dtype"] = self.dtype
+            if self.fused and "fused" in fields:
+                kwargs["fused"] = True
             if ls.n == 1:
                 inp = cls(*ls.args, name=f"l{ls.i}", **kwargs)(inp, train)
             else:  # stacked repeats (reference yolo.py:370)
@@ -78,9 +87,10 @@ class YOLOGraph(nn.Module):
 class DetectionModel:
     """Model handle: (spec, linen module, variables) with torch-free ergonomics."""
 
-    def __init__(self, spec: ModelSpec, variables, dtype=jnp.float32, names=None):
+    def __init__(self, spec: ModelSpec, variables, dtype=jnp.float32, names=None, fused=False):
         self.spec = spec
-        self.module = YOLOGraph(spec=spec, dtype=dtype)
+        self.fused = fused
+        self.module = YOLOGraph(spec=spec, dtype=dtype, fused=fused)
         self.variables = variables
         self.dtype = dtype
         self.names = names or {i: str(i) for i in range(spec.nc)}
@@ -149,18 +159,58 @@ class DetectionModel:
         return n_p
 
     def replace_variables(self, variables):
-        m = DetectionModel(self.spec, variables, self.dtype, self.names)
-        return m
+        return DetectionModel(self.spec, variables, self.dtype, self.names, self.fused)
+
+    def fuse(self):
+        """Fold Conv+BN for inference (reference fuse(), yolo.py:163-172).
+        Returns a new handle running the fused graph. No-op if already fused
+        or when only the train-time graph exists (no batch_stats)."""
+        if self.fused or not self.variables.get("batch_stats"):
+            return self
+        from yolov3_tpu.models.fuse import fuse_variables
+
+        return DetectionModel(self.spec, fuse_variables(self.variables), self.dtype, self.names, fused=True)
 
 
 def build_model(cfg="yolov3-tiny", **kw) -> DetectionModel:
     return DetectionModel.from_config(cfg, **kw)
 
 
+def cast_variables_for_inference(variables, dtype=jnp.bfloat16):
+    """Pre-cast weights to the compute dtype for serving.
+
+    Under a bf16 compute policy flax casts f32 params per call — inside a scan
+    or a serving loop that re-casts all 62M parameters every step. Casting once
+    here removes that bandwidth tax. BatchNorm stats stay f32 (they fold into
+    tiny per-channel affines at compile time anyway)."""
+
+    def cast(path, x):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if name in ("mean", "var"):
+            return x
+        return x.astype(dtype) if hasattr(x, "astype") and x.dtype == jnp.float32 else x
+
+    return {
+        "params": jax.tree_util.tree_map_with_path(cast, variables["params"]),
+        "batch_stats": variables.get("batch_stats", {}),
+    }
+
+
 def fuse_model(model: DetectionModel) -> DetectionModel:
-    """API-parity fuse(): XLA folds inference-mode BN affine into convs at compile
-    time, so there is nothing to do at the parameter level."""
-    LOGGER.info("fuse: inference BN is constant-folded by XLA; no parameter change needed")
+    """Fold Conv+BN weights for inference (see DetectionModel.fuse)."""
+    return model.fuse()
+
+
+def optimize_for_inference(model: DetectionModel, bf16=None) -> DetectionModel:
+    """Standard inference prep: fuse Conv+BN, and on accelerators switch to a
+    bf16 compute policy with pre-cast weights."""
+    model = model.fuse()
+    if bf16 is None:
+        bf16 = jax.devices()[0].platform != "cpu"
+    if bf16:
+        model = DetectionModel(
+            model.spec, cast_variables_for_inference(model.variables), jnp.bfloat16, model.names, model.fused
+        )
     return model
 
 

@@ -41,7 +41,11 @@ def autopad(k, p=None, d=1):
 
 
 class Conv(nn.Module):
-    """Conv2d (no bias) + BatchNorm + activation (reference common.py:57-82)."""
+    """Conv2d (no bias) + BatchNorm + activation (reference common.py:57-82).
+
+    With `fused=True` the BN is folded into the conv weights ahead of time
+    (see models/fuse.py) and the conv carries a bias — the inference-time
+    form the reference produces with fuse() (models/yolo.py:163-172)."""
 
     c2: int
     k: int = 1
@@ -51,6 +55,7 @@ class Conv(nn.Module):
     d: int = 1
     act: Any = True
     dtype: Any = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -63,14 +68,15 @@ class Conv(nn.Module):
             padding=pad,
             feature_group_count=self.g,
             kernel_dilation=self.d,
-            use_bias=False,
+            use_bias=self.fused,
             kernel_init=conv_kernel_init,
             dtype=self.dtype,
             name="conv",
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.97, epsilon=1e-3, dtype=self.dtype, name="bn"
-        )(x)
+        if not self.fused:
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.97, epsilon=1e-3, dtype=self.dtype, name="bn"
+            )(x)
         return get_activation(self.act)(x)
 
 
@@ -134,13 +140,14 @@ class Bottleneck(nn.Module):
     g: int = 1
     e: float = 0.5
     dtype: Any = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c1 = x.shape[-1]
         c_ = int(self.c2 * self.e)
-        y = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
-        y = Conv(self.c2, 3, 1, g=self.g, dtype=self.dtype, name="cv2")(y, train)
+        y = Conv(c_, 1, 1, dtype=self.dtype, fused=self.fused, name="cv1")(x, train)
+        y = Conv(self.c2, 3, 1, g=self.g, dtype=self.dtype, fused=self.fused, name="cv2")(y, train)
         return x + y if (self.shortcut and c1 == self.c2) else y
 
 
@@ -194,16 +201,17 @@ class SPP(nn.Module):
     c2: int
     k: Sequence[int] = (5, 9, 13)
     dtype: Any = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = x.shape[-1] // 2
-        x = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        x = Conv(c_, 1, 1, dtype=self.dtype, fused=self.fused, name="cv1")(x, train)
         pools = [
             nn.max_pool(x, (k, k), strides=(1, 1), padding=[(k // 2, k // 2), (k // 2, k // 2)]) for k in self.k
         ]
         x = jnp.concatenate([x, *pools], axis=-1)
-        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        return Conv(self.c2, 1, 1, dtype=self.dtype, fused=self.fused, name="cv2")(x, train)
 
 
 class SPPF(nn.Module):
@@ -212,16 +220,19 @@ class SPPF(nn.Module):
     c2: int
     k: int = 5
     dtype: Any = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = x.shape[-1] // 2
-        x = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        x = Conv(c_, 1, 1, dtype=self.dtype, fused=self.fused, name="cv1")(x, train)
         p = [(self.k // 2, self.k // 2)] * 2
         y1 = nn.max_pool(x, (self.k, self.k), strides=(1, 1), padding=p)
         y2 = nn.max_pool(y1, (self.k, self.k), strides=(1, 1), padding=p)
         y3 = nn.max_pool(y2, (self.k, self.k), strides=(1, 1), padding=p)
-        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv2")(jnp.concatenate([x, y1, y2, y3], axis=-1), train)
+        return Conv(self.c2, 1, 1, dtype=self.dtype, fused=self.fused, name="cv2")(
+            jnp.concatenate([x, y1, y2, y3], axis=-1), train
+        )
 
 
 class Focus(nn.Module):

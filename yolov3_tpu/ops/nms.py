@@ -51,8 +51,8 @@ def _greedy_nms(boxes_off, boxes, scores, cls_ids, iou_thres, max_det):
     """
     K = scores.shape[0]
 
-    def step(t, state):
-        scores_t, out = state
+    def step(state):
+        t, scores_t, out = state
         i = jnp.argmax(scores_t)
         s = scores_t[i]
         valid = s > 0.0
@@ -62,17 +62,26 @@ def _greedy_nms(boxes_off, boxes, scores, cls_ids, iou_thres, max_det):
         suppress = (iou > iou_thres) & valid
         scores_t = jnp.where(suppress, -1.0, scores_t)
         scores_t = scores_t.at[i].set(-1.0)
-        return scores_t, out
+        return t + 1, scores_t, out
 
     out0 = jnp.zeros((max_det, 6), dtype=scores.dtype)
-    _, out = jax.lax.fori_loop(0, min(max_det, K), step, (scores, out0))
+    n_steps = min(max_det, K)
+    # while-loop with early exit: stops once no positive-score candidate
+    # remains (real images produce far fewer than max_det detections)
+    _, _, out = jax.lax.while_loop(
+        lambda st: (st[0] < n_steps) & (jnp.max(st[1]) > 0.0),
+        step,
+        (jnp.int32(0), scores, out0),
+    )
     n_valid = jnp.sum(out[:, 4] > 0).astype(jnp.int32)
     return out, n_valid
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("conf_thres", "iou_thres", "classes", "agnostic", "multi_label", "max_det", "max_nms", "merge"),
+    static_argnames=(
+        "conf_thres", "iou_thres", "classes", "agnostic", "multi_label", "max_det", "max_nms", "merge", "use_pallas",
+    ),
 )
 def batched_nms(
     prediction,
@@ -84,6 +93,7 @@ def batched_nms(
     max_det: int = 300,
     max_nms: int = 30000,
     merge: bool = False,
+    use_pallas: bool = False,
 ):
     """Jittable batched NMS.
 
@@ -102,7 +112,8 @@ def batched_nms(
     bs, n, no = prediction.shape
     nc = no - 5
 
-    def one_image(x):
+    def prep(x):
+        """Candidate extraction + top-k prefilter for one image."""
         box = xywh2xyxy(x[:, :4])  # (N,4)
         obj = x[:, 4]
         cls_scores = x[:, 5:] * obj[:, None]  # conf = obj * cls
@@ -132,11 +143,22 @@ def batched_nms(
         top_cls = cls_ids[top_i]
         offset = jnp.where(agnostic, 0.0, top_cls * MAX_WH)
         top_box_off = top_box + offset[:, None]
+        return top_box_off, top_box, top_scores, top_cls
 
-        out, n_valid = _greedy_nms(top_box_off, top_box, top_scores, top_cls, iou_thres, max_det)
+    boxes_off_b, boxes_b, scores_b, cls_b = jax.vmap(prep)(prediction)
 
-        if merge:
-            # boxes(i,4) = weights(i,K) * boxes(K,4) / sum(weights) — reference general.py:735-741
+    if use_pallas:
+        from yolov3_tpu.ops.nms_pallas import pallas_greedy_nms
+
+        out_b, n_valid_b = pallas_greedy_nms(boxes_off_b, boxes_b, scores_b, cls_b, iou_thres, max_det)
+    else:
+        out_b, n_valid_b = jax.vmap(lambda bo, bx, s, c: _greedy_nms(bo, bx, s, c, iou_thres, max_det))(
+            boxes_off_b, boxes_b, scores_b, cls_b
+        )
+
+    if merge:
+        # boxes(i,4) = weights(i,K) * boxes(K,4) / sum(weights) — reference general.py:735-741
+        def merge_one(out, top_box_off, top_box, top_scores):
             sel_off = out[:, :4] + jnp.where(agnostic, 0.0, out[:, 5:6] * MAX_WH)
             lt = jnp.maximum(sel_off[:, None, :2], top_box_off[None, :, :2])
             rb = jnp.minimum(sel_off[:, None, 2:4], top_box_off[None, :, 2:4])
@@ -148,11 +170,11 @@ def batched_nms(
             w = (iou > iou_thres) * jnp.clip(top_scores, 0.0, None)[None, :]
             merged = (w @ top_box) / jnp.clip(w.sum(1, keepdims=True), 1e-7, None)
             has = out[:, 4] > 0
-            out = out.at[:, :4].set(jnp.where(has[:, None], merged, out[:, :4]))
+            return out.at[:, :4].set(jnp.where(has[:, None], merged, out[:, :4]))
 
-        return out, n_valid
+        out_b = jax.vmap(merge_one)(out_b, boxes_off_b, boxes_b, scores_b)
 
-    return jax.vmap(one_image)(prediction)
+    return out_b, n_valid_b
 
 
 def non_max_suppression(

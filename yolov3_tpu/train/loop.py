@@ -73,6 +73,7 @@ def train(
     save_period=-1,
     rect_val=True,
     image_weights=False,
+    multi_scale=False,
 ):
     """Train a detection model. Returns (best_fitness, results, save_dir)."""
     callbacks = callbacks or Callbacks()
@@ -199,6 +200,20 @@ def train(
         t_epoch = time.time()
         for imgs, targets, mask, _ in train_loader:
             callbacks.run("on_train_batch_start")
+            if multi_scale and nb % 10 == 0:
+                # bucketed multi-scale (reference train.py:394-399): random size
+                # in [0.5, 1.5]*imgsz snapped to the stride grid; host-side
+                # resize keeps device shapes within a bounded bucket set
+                gs = int(stride)
+                _ms_size = int(np.random.default_rng(seed + int(state["step"])).integers(
+                    imgsz // 2 // gs, imgsz * 3 // 2 // gs + 1
+                )) * gs
+                setattr(train_loader, "_ms_size", _ms_size)
+            ms = getattr(train_loader, "_ms_size", None)
+            if multi_scale and ms and ms != imgs.shape[1]:
+                import cv2
+
+                imgs = np.stack([cv2.resize(im, (ms, ms), interpolation=cv2.INTER_LINEAR) for im in imgs])
             batch = shard_batch(mesh, (imgs, targets, mask))
             state, metrics = step_fn(state, *batch)
             mloss = (mloss * nb + np.array([float(metrics["lbox"]), float(metrics["lobj"]), float(metrics["lcls"])])) / (nb + 1)
@@ -214,8 +229,9 @@ def train(
         # per-epoch validation with EMA weights (reference train.py:446-459)
         fi = 0.0
         if val_loader is not None:
-            ema_vars = jax.tree.map(np.asarray, state["ema"]["ema"])
-            ema_model = model.replace_variables(dict(ema_vars))
+            # EMA weights stay device-resident — host copies would re-upload
+            # all params into the jitted val forward every batch
+            ema_model = model.replace_variables(dict(state["ema"]["ema"]))
             results, maps, _ = validator.run(
                 data_dict, model=ema_model, batch_size=batch_size, imgsz=imgsz,
                 dataloader=val_loader, loss_cfg=loss_cfg, compute_loss_flag=True, names=names,

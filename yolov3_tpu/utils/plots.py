@@ -140,6 +140,136 @@ def plot_results(csv_file="results.csv", save_path=None):
     return out
 
 
+def plot_pr_curve(px, py, ap, save_path=Path("pr_curve.png"), names=()):
+    """Per-class precision-recall curves + mean AP@0.5 (ultralytics plot_pr_curve analog)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(1, 1, figsize=(9, 6), tight_layout=True)
+    py = np.stack(py, axis=1) if isinstance(py, list) else py
+    if 0 < len(names) < 21:
+        for i, y in enumerate(py.T):
+            ax.plot(px, y, linewidth=1, label=f"{names[i]} {ap[i, 0]:.3f}")
+    else:
+        ax.plot(px, py, linewidth=1, color="grey")
+    ax.plot(px, py.mean(1), linewidth=3, color="blue", label=f"all classes {ap[:, 0].mean():.3f} mAP@0.5")
+    ax.set_xlabel("Recall")
+    ax.set_ylabel("Precision")
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1)
+    ax.legend(bbox_to_anchor=(1.04, 1), loc="upper left")
+    fig.savefig(save_path, dpi=250)
+    plt.close(fig)
+    return save_path
+
+
+def plot_mc_curve(px, py, save_path=Path("mc_curve.png"), names=(), xlabel="Confidence", ylabel="Metric"):
+    """Metric-vs-confidence curves (F1/P/R) (ultralytics plot_mc_curve analog)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(1, 1, figsize=(9, 6), tight_layout=True)
+    if 0 < len(names) < 21:
+        for i, y in enumerate(py):
+            ax.plot(px, y, linewidth=1, label=str(names[i]))
+    else:
+        ax.plot(px, py.T, linewidth=1, color="grey")
+    y = py.mean(0)
+    ax.plot(px, y, linewidth=3, color="blue", label=f"all classes {y.max():.2f} at {px[y.argmax()]:.3f}")
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1)
+    ax.legend(bbox_to_anchor=(1.04, 1), loc="upper left")
+    fig.savefig(save_path, dpi=250)
+    plt.close(fig)
+    return save_path
+
+
+def plot_confusion_matrix(matrix, names=(), save_path=Path("confusion_matrix.png"), normalize=True):
+    """Confusion-matrix heatmap (reference metrics.py ConfusionMatrix.plot analog)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    m = matrix.copy().astype(float)
+    if normalize:
+        m /= (m.sum(0, keepdims=True) + 1e-9)
+    m[m < 0.005] = np.nan
+    fig, ax = plt.subplots(figsize=(10, 8), tight_layout=True)
+    im = ax.imshow(m, cmap="Blues", vmin=0.0)
+    fig.colorbar(im)
+    labels = [*names, "background"] if names else None
+    n = m.shape[0]
+    if labels and len(labels) == n:
+        ax.set_xticks(range(n), labels=labels, rotation=90, fontsize=8)
+        ax.set_yticks(range(n), labels=labels, fontsize=8)
+    ax.set_xlabel("True")
+    ax.set_ylabel("Predicted")
+    fig.savefig(save_path, dpi=250)
+    plt.close(fig)
+    return save_path
+
+
+def plot_labels(labels, names=(), save_dir=Path(".")):
+    """Label statistics: class histogram + box center/size distributions
+    (reference plots.py:198-240 labels correlogram, matplotlib-only)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    c = labels[:, 0]
+    boxes = labels[:, 1:5]
+    fig, axes = plt.subplots(2, 2, figsize=(10, 10), tight_layout=True)
+    nc = int(c.max() + 1) if len(c) else 1
+    axes[0, 0].hist(c, bins=np.arange(nc + 1) - 0.5, rwidth=0.8)
+    axes[0, 0].set_xlabel("class")
+    axes[0, 1].scatter(boxes[:, 0], boxes[:, 1], s=3, alpha=0.4)
+    axes[0, 1].set_xlabel("x")
+    axes[0, 1].set_ylabel("y")
+    axes[1, 0].scatter(boxes[:, 2], boxes[:, 3], s=3, alpha=0.4)
+    axes[1, 0].set_xlabel("width")
+    axes[1, 0].set_ylabel("height")
+    axes[1, 1].hist2d(boxes[:, 2], boxes[:, 3], bins=50, cmap="Blues")
+    axes[1, 1].set_xlabel("width")
+    axes[1, 1].set_ylabel("height")
+    out = Path(save_dir) / "labels.png"
+    fig.savefig(out, dpi=200)
+    plt.close(fig)
+    return out
+
+
+def plot_evolve(evolve_csv, save_path=None):
+    """Hyperparameter-evolution scatter matrix (reference plots.py:243-267)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import pandas as pd
+
+    df = pd.read_csv(evolve_csv)
+    keys = [c for c in df.columns if c not in ("P", "R", "mAP50", "mAP50-95")]
+    f = (df[["P", "R", "mAP50", "mAP50-95"]].values * [0.0, 0.0, 0.1, 0.9]).sum(1)
+    n = len(keys)
+    ncols = 6
+    nrows = int(np.ceil(n / ncols))
+    fig, axes = plt.subplots(nrows, ncols, figsize=(2.5 * ncols, 2.5 * nrows), tight_layout=True)
+    for ax, k in zip(np.ravel(axes), keys):
+        ax.scatter(df[k], f, c=f, cmap="viridis", s=12, alpha=0.7)
+        best = df[k].iloc[f.argmax()]
+        ax.set_title(f"{k} = {best:.3g}", fontsize=8)
+    out = save_path or Path(evolve_csv).with_suffix(".png")
+    fig.savefig(out, dpi=200)
+    plt.close(fig)
+    return out
+
+
 def feature_visualization(x, module_type, stage, n=32, save_dir=Path("runs/detect/exp")):
     """Save a grid of feature-map channels for one layer (reference plots.py:30-57)."""
     import matplotlib
