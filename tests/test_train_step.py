@@ -104,3 +104,24 @@ def test_earlystopping():
     assert not es2(0, 0.1)
     assert not es2(2, 0.2)  # improvement resets
     assert not es2(4, 0.3)
+
+
+def test_freeze_layers():
+    """freeze=[0] zeroes layer-0 updates while other layers train."""
+    model = DetectionModel.from_config(SPEC, imgsz=64)
+    tx, _, _ = build_optimizer(
+        "sgd", model.params, HYP, epochs=10, steps_per_epoch=10, batch_size=64,
+        min_warmup_steps=0, freeze=[0],
+    )
+    loss_cfg = LossConfig.from_model(model.spec, HYP)
+    step = make_train_step(model.module, loss_cfg, tx)
+    state = init_train_state(model, tx)
+    p0_before = np.asarray(jax.tree.leaves(state["params"]["l0"])[0]).copy()
+    p1_before = np.asarray(jax.tree.leaves(state["params"]["l1"])[0]).copy()
+    imgs, targets, mask = make_batch()
+    for _ in range(3):
+        state, _ = step(state, imgs, targets, mask)
+    p0_after = np.asarray(jax.tree.leaves(state["params"]["l0"])[0])
+    p1_after = np.asarray(jax.tree.leaves(state["params"]["l1"])[0])
+    np.testing.assert_array_equal(p0_before, p0_after)
+    assert not np.allclose(p1_before, p1_after)

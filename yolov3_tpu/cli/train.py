@@ -37,6 +37,8 @@ def parse_opt(known=False):
                         help="evolve hyperparameters for N generations")
     parser.add_argument("--multi-scale", action="store_true", help="vary imgsz +/-50%% (bucketed)")
     parser.add_argument("--image-weights", action="store_true")
+    parser.add_argument("--freeze", nargs="+", type=int, default=[],
+                        help="freeze layers: single N = first N layers, or an explicit list")
     parser.add_argument("--patience", type=int, default=100)
     parser.add_argument("--project", default="runs/train")
     parser.add_argument("--name", default="exp")
@@ -112,6 +114,7 @@ def main(opt=None):
         save_period=opt.save_period,
         multi_scale=opt.multi_scale,
         image_weights=opt.image_weights,
+        freeze=tuple(opt.freeze),
     )
 
 

@@ -331,15 +331,29 @@ class DataLoader:
         resampling, reference train.py:360-363)."""
         self._indices_override = np.asarray(indices)
 
+    def shard_per_host(self):
+        """Restrict sampling to this host's contiguous shard — the
+        DistributedSampler analog for multi-host SPMD (each host feeds its
+        own devices; reference dataloaders.py:115)."""
+        from yolov3_tpu.parallel.mesh import process_shard
+
+        sl = process_shard(len(self.dataset))
+        self._host_slice = sl
+        return self
+
     def _batches(self):
         idx = getattr(self, "_indices_override", None)
         if idx is None:
             idx = np.arange(len(self.dataset))
+            sl = getattr(self, "_host_slice", None)
+            if sl is not None:
+                idx = idx[sl]
             if self.shuffle and not getattr(self.dataset, "rect", False):
                 self.rng.shuffle(idx)
         else:
             self._indices_override = None
-        for b in range(len(self)):
+        n_batches = len(idx) // self.batch_size if self.drop_last else math.ceil(len(idx) / self.batch_size)
+        for b in range(n_batches):
             yield idx[b * self.batch_size : (b + 1) * self.batch_size]
 
     def __iter__(self):

@@ -81,10 +81,11 @@ class ModelSpec:
 # ops whose first arg is an output-channel count subject to width scaling
 _CHANNEL_OPS = {
     "Conv", "DWConv", "Bottleneck", "GhostBottleneck", "SPP", "SPPF", "Focus",
-    "GhostConv", "BottleneckCSP", "C3",
+    "GhostConv", "BottleneckCSP", "C3", "C3x", "C3TR", "C3SPP", "C3Ghost",
+    "CrossConv", "MixConv2d", "TransformerBlock",
 }  # fmt: skip
 # ops that take the repeat count as a constructor arg instead of stacking
-_REPEAT_ARG_OPS = {"BottleneckCSP", "C3"}
+_REPEAT_ARG_OPS = {"BottleneckCSP", "C3", "C3x", "C3TR", "C3SPP", "C3Ghost"}
 # spatial stride effect: op -> callable(args) -> scale factor (x means downsample by x)
 _STRIDE_FNS = {
     "Conv": lambda a: a[2] if len(a) > 2 else 1,

@@ -22,6 +22,7 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from yolov3_tpu.nn.activations import get_activation
@@ -390,6 +391,148 @@ class GhostBottleneck(nn.Module):
         return y + sc
 
 
+class TransformerLayer(nn.Module):
+    """Self-attention + MLP block sans LayerNorm (reference common.py:104-127)."""
+
+    c: int
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # x: (seq, batch, c)
+        q = nn.Dense(self.c, use_bias=False, dtype=self.dtype, name="q")(x)
+        k = nn.Dense(self.c, use_bias=False, dtype=self.dtype, name="k")(x)
+        v = nn.Dense(self.c, use_bias=False, dtype=self.dtype, name="v")(x)
+        s, b, c = x.shape
+        h = self.num_heads
+        hd = c // h
+        qh = q.reshape(s, b * h, hd).transpose(1, 0, 2)
+        kh = k.reshape(s, b * h, hd).transpose(1, 0, 2)
+        vh = v.reshape(s, b * h, hd).transpose(1, 0, 2)
+        att = jax.nn.softmax(jnp.einsum("bqd,bkd->bqk", qh, kh) / jnp.sqrt(hd), axis=-1)
+        out = jnp.einsum("bqk,bkd->bqd", att, vh).transpose(1, 0, 2).reshape(s, b, c)
+        x = nn.Dense(self.c, use_bias=False, dtype=self.dtype, name="proj")(out) + x
+        return nn.Dense(self.c, use_bias=False, dtype=self.dtype, name="fc2")(
+            nn.Dense(self.c, use_bias=False, dtype=self.dtype, name="fc1")(x)
+        ) + x
+
+
+class TransformerBlock(nn.Module):
+    """Vision-transformer block over a conv feature map (reference common.py:130-147)."""
+
+    c2: int
+    num_heads: int = 4
+    num_layers: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if x.shape[-1] != self.c2:
+            x = Conv(self.c2, dtype=self.dtype, name="conv")(x, train)
+        b, h, w, c = x.shape
+        p = x.reshape(b, h * w, c).transpose(1, 0, 2)  # (seq, batch, c)
+        pos = nn.Dense(c, dtype=self.dtype, name="linear")(p)
+        p = p + pos
+        for i in range(self.num_layers):
+            p = TransformerLayer(c, self.num_heads, dtype=self.dtype, name=f"tr{i}")(p, train)
+        return p.transpose(1, 0, 2).reshape(b, h, w, c)
+
+
+class CrossConv(nn.Module):
+    """Cross-convolution downsample: 1xk then kx1 (reference common.py:224-240)."""
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    g: int = 1
+    e: float = 1.0
+    shortcut: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1 = x.shape[-1]
+        c_ = int(self.c2 * self.e)
+        y = Conv(c_, (1, self.k), (1, self.s), dtype=self.dtype, name="cv1")(x, train)
+        y = Conv(self.c2, (self.k, 1), (self.s, 1), g=self.g, dtype=self.dtype, name="cv2")(y, train)
+        return x + y if (self.shortcut and c1 == self.c2) else y
+
+
+class C3x(C3):
+    """C3 with CrossConv bottlenecks (reference common.py:244-250)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        for i in range(self.n):
+            y1 = CrossConv(c_, 3, 1, self.g, 1.0, self.shortcut, dtype=self.dtype, name=f"m{i}")(y1, train)
+        y2 = Conv(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv3")(jnp.concatenate([y1, y2], axis=-1), train)
+
+
+class C3TR(C3):
+    """C3 with a TransformerBlock instead of bottlenecks (reference common.py:253-259)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        y1 = TransformerBlock(c_, 4, self.n, dtype=self.dtype, name="m")(y1, train)
+        y2 = Conv(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv3")(jnp.concatenate([y1, y2], axis=-1), train)
+
+
+class C3SPP(C3):
+    """C3 with an SPP core (reference common.py:262-268)."""
+
+    k: Sequence[int] = (5, 9, 13)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        y1 = SPP(c_, self.k, dtype=self.dtype, name="m")(y1, train)
+        y2 = Conv(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv3")(jnp.concatenate([y1, y2], axis=-1), train)
+
+
+class C3Ghost(C3):
+    """C3 with GhostBottlenecks (reference common.py:271-277)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        for i in range(self.n):
+            y1 = GhostBottleneck(c_, dtype=self.dtype, name=f"m{i}")(y1, train)
+        y2 = Conv(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv3")(jnp.concatenate([y1, y2], axis=-1), train)
+
+
+class MixConv2d(nn.Module):
+    """Mixed-kernel-size conv groups (reference models/experimental.py:42-71)."""
+
+    c2: int
+    k: Sequence[int] = (1, 3)
+    s: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        n = len(self.k)
+        splits = [self.c2 // n + (1 if i < self.c2 % n else 0) for i in range(n)]
+        outs = [
+            nn.Conv(c, (k, k), strides=self.s, padding=k // 2, use_bias=False,
+                    kernel_init=conv_kernel_init, dtype=self.dtype, name=f"m{i}")(x)
+            for i, (c, k) in enumerate(zip(splits, self.k))
+        ]
+        y = jnp.concatenate(outs, axis=-1)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3, name="bn")(y)
+        return get_activation("silu")(y)
+
+
 # Registry mapping spec op names -> (module class, kind). kind 'multi' modules
 # consume a list of inputs; 'single' consume one tensor. Aliases cover the
 # reference YAML spellings so reference-format model files load unchanged.
@@ -399,6 +542,13 @@ MODULE_REGISTRY = {
     "Bottleneck": Bottleneck,
     "BottleneckCSP": BottleneckCSP,
     "C3": C3,
+    "C3x": C3x,
+    "C3TR": C3TR,
+    "C3SPP": C3SPP,
+    "C3Ghost": C3Ghost,
+    "CrossConv": CrossConv,
+    "TransformerBlock": TransformerBlock,
+    "MixConv2d": MixConv2d,
     "SPP": SPP,
     "SPPF": SPPF,
     "Focus": Focus,

@@ -74,6 +74,7 @@ def train(
     rect_val=True,
     image_weights=False,
     multi_scale=False,
+    freeze=(),
 ):
     """Train a detection model. Returns (best_fitness, results, save_dir)."""
     callbacks = callbacks or Callbacks()
@@ -147,8 +148,10 @@ def train(
     loss_cfg = LossConfig.from_model(model.spec, hyp)
 
     # optimizer + schedules + step
+    freeze_layers = list(range(freeze[0])) if len(freeze) == 1 else list(freeze)
     tx, schedules, accumulate = build_optimizer(
-        optimizer, model.params, hyp, epochs, steps_per_epoch, batch_size, cos_lr=cos_lr
+        optimizer, model.params, hyp, epochs, steps_per_epoch, batch_size, cos_lr=cos_lr,
+        freeze=freeze_layers,
     )
     mesh = create_mesh()
     step_fn = make_train_step(model.module, loss_cfg, tx, mesh=mesh)

@@ -98,6 +98,21 @@ def focal_modulation(logits, targets, loss, gamma=1.5, alpha=0.25):
     return loss * alpha_factor * (1.0 - p_t) ** gamma
 
 
+def qfocal_modulation(logits, targets, loss, gamma=1.5, alpha=0.25):
+    """Quality focal loss factor (reference utils/loss.py:66-94)."""
+    p = jax.nn.sigmoid(logits)
+    alpha_factor = targets * alpha + (1 - targets) * (1 - alpha)
+    return loss * alpha_factor * jnp.abs(targets - p) ** gamma
+
+
+def bce_blur_with_logits(logits, targets, alpha=0.05):
+    """BCE downweighting probable missing-labels (reference utils/loss.py:11-28)."""
+    loss = bce_with_logits(logits, targets)
+    dx = jax.nn.sigmoid(logits) - targets
+    alpha_factor = 1.0 - jnp.exp((dx - 1.0) / (alpha + 1e-4))
+    return (loss * alpha_factor).mean()
+
+
 # neighbor offsets: center, left-cell, top-cell, right-cell, bottom-cell (x0.5)
 _OFFSETS = jnp.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [-1.0, 0.0], [0.0, -1.0]]) * 0.5
 

@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from yolov3_tpu.utils.general import LOGGER
+
 
 def is_bias_path(path):
     """True for conv/BN bias leaves (param-group 1 in the reference)."""
@@ -132,8 +134,21 @@ def sgd_with_schedules(schedules: Schedules, weight_decay=0.0005, nesterov=True,
     return tx
 
 
+def freeze_mask(params, freeze):
+    """True for leaves under frozen top-level layers (reference train.py:217-223:
+    requires_grad=False by 'model.{i}.' prefix -> here zeroed updates)."""
+    frozen_layers = {f"l{i}" for i in freeze}
+
+    def is_frozen(path, _):
+        top = path[0].key if hasattr(path[0], "key") else str(path[0])
+        base = top.split("_")[0]  # l4_1 repeats belong to layer l4
+        return top in frozen_layers or base in frozen_layers
+
+    return jax.tree_util.tree_map_with_path(is_frozen, params)
+
+
 def build_optimizer(name, params, hyp, epochs, steps_per_epoch, batch_size, nbs=64, cos_lr=False,
-                    min_warmup_steps=100):
+                    min_warmup_steps=100, freeze=()):
     """smart_optimizer analog: SGD(nesterov)/Adam/AdamW with grouped decay.
 
     decay is scaled by batch_size * accumulate / nbs like the reference
@@ -163,6 +178,11 @@ def build_optimizer(name, params, hyp, epochs, steps_per_epoch, batch_size, nbs=
             tx = optax.MultiSteps(tx, every_k_schedule=accumulate)
     else:
         raise NotImplementedError(f"Optimizer {name} not implemented")
+    if freeze:
+        mask = freeze_mask(params, freeze)
+        n = sum(jax.tree.leaves(jax.tree.map(lambda m: int(m), mask)))
+        LOGGER.info(f"freezing {n} parameter tensors in layers {sorted(freeze)}")
+        tx = optax.chain(tx, optax.masked(optax.set_to_zero(), mask))
     return tx, sch, accumulate
 
 

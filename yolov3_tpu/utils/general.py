@@ -80,6 +80,47 @@ class TryExcept(contextlib.ContextDecorator):
         return True
 
 
+class Timeout(contextlib.ContextDecorator):
+    """SIGALRM-based timeout context (reference general.py:158-182); unix-only."""
+
+    def __init__(self, seconds, timeout_msg="", suppress_timeout_errors=True):
+        self.seconds = int(seconds)
+        self.msg = timeout_msg
+        self.suppress = bool(suppress_timeout_errors)
+
+    def _handler(self, signum, frame):
+        raise TimeoutError(self.msg)
+
+    def __enter__(self):
+        import signal
+
+        if platform.system() != "Windows":
+            signal.signal(signal.SIGALRM, self._handler)
+            signal.alarm(self.seconds)
+
+    def __exit__(self, exc_type, exc_val, exc_tb):
+        import signal
+
+        if platform.system() != "Windows":
+            signal.alarm(0)
+        if self.suppress and exc_type is TimeoutError:
+            return True
+
+
+def threaded(func):
+    """Decorator: run func in a daemon thread, return the Thread."""
+    import functools
+    import threading
+
+    @functools.wraps(func)
+    def wrapper(*args, **kwargs):
+        t = threading.Thread(target=func, args=args, kwargs=kwargs, daemon=True)
+        t.start()
+        return t
+
+    return wrapper
+
+
 class Profile(contextlib.ContextDecorator):
     """Accumulating wall-clock timer. Use `block_until_ready` on device outputs
     before exiting the block for accurate device timing (the JAX analog of the

@@ -86,6 +86,28 @@ def speed_benchmark(fn, args, n=10, warmup=2, label=""):
     return dt
 
 
+def prune(params, amount=0.3):
+    """Global magnitude pruning of conv kernels (reference torch_utils.py:196-204):
+    zero the smallest-|w| fraction per kernel. Returns (params, sparsity)."""
+    import jax.numpy as jnp
+
+    def prune_leaf(path, x):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if name != "kernel" or x.ndim < 4:
+            return x
+        k = int(x.size * amount)
+        if k == 0:
+            return x
+        thresh = jnp.sort(jnp.abs(x).reshape(-1))[k]
+        return jnp.where(jnp.abs(x) < thresh, 0.0, x)
+
+    pruned = jax.tree_util.tree_map_with_path(prune_leaf, params)
+    total = sum(x.size for x in jax.tree.leaves(pruned))
+    zeros = sum(int((np.asarray(x) == 0).sum()) for x in jax.tree.leaves(pruned))
+    LOGGER.info(f"pruned model to {zeros / total:.3f} global sparsity")
+    return pruned, zeros / total
+
+
 def profile_layers(model, imgsz=640, batch=1, reps=10):
     """Per-layer forward timing (BaseModel._profile_one_layer parity, yolo.py:149-161).
 
