@@ -27,6 +27,10 @@ def main(model_name="yolov3", imgsz=640, batch=16, iters=8, dtype="bfloat16", ma
     import jax
     import jax.numpy as jnp
 
+    from yolov3_tpu.utils.general import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from yolov3_tpu.models.detect_head import decode_predictions
     from yolov3_tpu.models.detection import DetectionModel
     from yolov3_tpu.ops.nms import batched_nms

@@ -1,0 +1,133 @@
+"""API-surface tests: AutoShape/Detections, hub, MultiBackend, serve, autoanchor."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+MICRO = {
+    "nc": 2,
+    "anchors": [[10, 14, 23, 27, 37, 58], [81, 82, 135, 169, 344, 319]],
+    "layers": [
+        {"from": -1, "n": 1, "op": "Conv", "args": [8, 3, 2]},
+        {"from": -1, "n": 1, "op": "Conv", "args": [16, 3, 2]},
+        {"from": -1, "n": 1, "op": "Conv", "args": [16, 3, 2]},
+        {"from": -1, "n": 1, "op": "Conv", "args": [32, 3, 2]},
+        {"from": -1, "n": 1, "op": "Conv", "args": [32, 3, 2]},
+        {"from": [3, 4], "n": 1, "op": "Detect", "args": ["nc", "anchors"]},
+    ],
+}
+
+
+@pytest.fixture(scope="module")
+def micro_model():
+    from yolov3_tpu.models.detection import DetectionModel
+
+    return DetectionModel.from_config(MICRO, imgsz=64)
+
+
+def test_autoshape_ndarray_and_path(micro_model, tmp_path, rng):
+    import cv2
+
+    from yolov3_tpu.models.autoshape import AutoShape
+
+    m = AutoShape(micro_model)
+    m.conf = 0.0001
+    im = rng.integers(0, 255, (100, 140, 3), dtype=np.uint8)
+    p = tmp_path / "im.jpg"
+    cv2.imwrite(str(p), im[:, :, ::-1])
+
+    results = m([im, str(p)], size=96)
+    assert len(results) == 2
+    assert results.xyxy[0].shape[1] == 6
+    # normalized views bounded
+    for x in results.xyxyn:
+        if len(x):
+            assert (x[:, :4] <= 1.01).all()
+    df = results.pandas().xyxy[0]
+    assert list(df.columns[:6]) == ["xmin", "ymin", "xmax", "ymax", "confidence", "class"]
+    rendered = results.render()
+    assert rendered[0].shape == im.shape
+
+
+def test_hub_load(micro_model):
+    import yolov3_tpu.hub as hub
+
+    m = hub.load("yolov3-tiny", autoshape=False)
+    assert m.spec.name == "yolov3-tiny"
+    m2 = hub.yolov3_tiny(classes=10, autoshape=False)
+    assert m2.spec.nc == 10
+
+
+def test_multibackend_roundtrip(micro_model, tmp_path, rng):
+    from yolov3_tpu import export as ex
+    from yolov3_tpu.models.backend import MultiBackend
+    from yolov3_tpu.utils.checkpoint import save_checkpoint
+
+    # save a checkpoint dir for load_weights
+    ck = tmp_path / "ck"
+    save_checkpoint(
+        ck,
+        {"params": micro_model.variables["params"], "batch_stats": micro_model.variables["batch_stats"]},
+        spec=micro_model.spec,
+        meta={"names": {0: "a", 1: "b"}},
+    )
+    res = ex.run(str(ck), include=("stablehlo",), imgsz=64, out_dir=tmp_path)
+    assert res["stablehlo"] is not None
+
+    mb = MultiBackend(res["stablehlo"])
+    im = rng.integers(0, 255, (1, 64, 64, 3), dtype=np.uint8)
+    pred = mb(im)
+    mb_native = MultiBackend(str(ck))
+    pred2 = mb_native(im)
+    np.testing.assert_allclose(pred, pred2, atol=2e-2)  # bf16 native vs f32 hlo
+
+
+@pytest.mark.slow  # server warmup compile can exceed the wait on a loaded 1-core box
+def test_serve_roundtrip(micro_model, tmp_path, rng):
+    import cv2
+
+    from yolov3_tpu.serve import RemoteModel, serve
+    from yolov3_tpu.utils.checkpoint import save_checkpoint
+
+    ck = tmp_path / "ck"
+    save_checkpoint(
+        ck,
+        {"params": micro_model.variables["params"], "batch_stats": micro_model.variables["batch_stats"]},
+        spec=micro_model.spec,
+        meta={"names": {0: "a", 1: "b"}},
+    )
+    port = 8601
+    t = threading.Thread(target=serve, args=(str(ck),), kwargs={"port": port, "imgsz": 64, "conf_thres": 0.0001},
+                         daemon=True)
+    t.start()
+    for _ in range(120):
+        try:
+            client = RemoteModel(f"http://localhost:{port}")
+            break
+        except Exception:  # noqa: BLE001
+            time.sleep(1)
+    else:
+        pytest.fail("server did not come up")
+    im = rng.integers(0, 255, (80, 80, 3), dtype=np.uint8)
+    dets = client(im)
+    assert dets.shape[1] == 6
+
+
+def test_autoanchor_kmeans(rng):
+    from yolov3_tpu.utils.autoanchor import anchor_metrics, kmean_anchors
+
+    # synthetic wh clusters
+    wh = np.concatenate([
+        rng.normal(20, 2, (300, 2)),
+        rng.normal(60, 5, (300, 2)),
+        rng.normal(150, 10, (300, 2)),
+    ]).clip(4)
+    k = kmean_anchors(wh.astype(np.float32), n=6, gen=100)
+    assert k.shape == (6, 2)
+    bpr, _ = anchor_metrics(wh, k)
+    assert bpr > 0.98  # evolved anchors cover the clusters
+    # sorted by area
+    areas = k.prod(1)
+    assert (np.diff(areas) >= -1e-3).all()

@@ -223,6 +223,9 @@ def parse_opt():
 
 def main(opt=None):
     opt = opt or parse_opt()
+    from yolov3_tpu.utils.general import enable_compilation_cache
+
+    enable_compilation_cache()
     run(**vars(opt))
 
 

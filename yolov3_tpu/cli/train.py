@@ -54,6 +54,9 @@ def parse_opt(known=False):
 
 def main(opt=None):
     opt = opt or parse_opt()
+    from yolov3_tpu.utils.general import enable_compilation_cache
+
+    enable_compilation_cache()
     if opt.num_processes:
         from yolov3_tpu.parallel.mesh import initialize_distributed
 

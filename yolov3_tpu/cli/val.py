@@ -50,20 +50,13 @@ def run(
     model = load_weights(weights)
     save_dir = increment_path(Path(project) / name, exist_ok=exist_ok, mkdir=True)
 
-    if task in ("val", "test", "train"):
-        if task == "speed":
-            conf_thres, iou_thres = 0.25, 0.45
+    if task in ("val", "test", "train", "speed"):
+        if task == "speed":  # speed-task settings (reference val.py:605-609)
+            conf_thres, iou_thres, save_json = 0.25, 0.45, False
         results, maps, speeds = validator.run(
             data, model=model, batch_size=batch_size, imgsz=imgsz, conf_thres=conf_thres,
-            iou_thres=iou_thres, max_det=max_det, task=task, single_cls=single_cls,
-            verbose=verbose, save_json=save_json, save_dir=save_dir,
-        )
-        return results, maps, speeds
-
-    if task == "speed":
-        results, maps, speeds = validator.run(
-            data, model=model, batch_size=batch_size, imgsz=imgsz,
-            conf_thres=0.25, iou_thres=0.45, task="val", save_dir=save_dir,
+            iou_thres=iou_thres, max_det=max_det, task="val" if task == "speed" else task,
+            single_cls=single_cls, verbose=verbose, save_json=save_json, save_dir=save_dir,
         )
         return results, maps, speeds
 
@@ -107,6 +100,9 @@ def parse_opt():
 
 def main(opt=None):
     opt = opt or parse_opt()
+    from yolov3_tpu.utils.general import enable_compilation_cache
+
+    enable_compilation_cache()
     run(**vars(opt))
 
 

@@ -81,24 +81,7 @@ def run(
     iouv = np.linspace(0.5, 0.95, 10)
     niou = iouv.shape[0]
 
-    module = model.module
-    anchors = model.anchors_px
-    strides = model.spec.strides
-
-    @jax.jit
-    def forward(variables, imgs_u8):
-        x = imgs_u8.astype(jax.numpy.float32) / 255.0
-        feats = module.apply(variables, x, train=False)
-        pred = decode_predictions(feats, anchors, strides)
-        dets, n_valid = batched_nms(
-            pred,
-            conf_thres=conf_thres,
-            iou_thres=0.45 if task == "speed" else iou_thres,
-            multi_label=True,
-            max_det=max_det,
-            max_nms=max_nms,
-        )
-        return dets, n_valid, feats
+    forward = _cached_forward(model, conf_thres, 0.45 if task == "speed" else iou_thres, max_det, max_nms)
 
     stats = []
     loss_sum = np.zeros(3)
@@ -201,6 +184,41 @@ def run(
     for i, c in enumerate(ap_class):
         maps[int(c)] = ap_mean[i]
     return (mp, mr, map50, map_, *losses), maps, speeds
+
+
+_FORWARD_CACHE = {}
+
+
+def _cached_forward(model, conf_thres, iou_thres, max_det, max_nms):
+    """Jitted forward+decode+NMS, cached by (module, nms params).
+
+    The linen module is a frozen dataclass (spec/dtype/fused), so equal
+    architectures share one jitted function — without this, per-epoch
+    validation re-traced and re-COMPILED the whole model every epoch
+    (minutes per compile through a remote-compile TPU runtime)."""
+    key = (model.module, float(conf_thres), float(iou_thres), int(max_det), int(max_nms))
+    fn = _FORWARD_CACHE.get(key)
+    if fn is None:
+        module = model.module
+        anchors = model.anchors_px
+        strides = model.spec.strides
+
+        @jax.jit
+        def forward(variables, imgs_u8):
+            x = imgs_u8.astype(jax.numpy.float32) / 255.0
+            feats = module.apply(variables, x, train=False)
+            pred = decode_predictions(feats, anchors, strides)
+            dets, n_valid = batched_nms(
+                pred, conf_thres=conf_thres, iou_thres=iou_thres,
+                multi_label=True, max_det=max_det, max_nms=max_nms,
+            )
+            return dets, n_valid, feats
+
+        if len(_FORWARD_CACHE) > 8:
+            _FORWARD_CACHE.clear()
+        _FORWARD_CACHE[key] = forward
+        fn = forward
+    return fn
 
 
 def _append_coco_json(jdict, pred, path, class_map):

@@ -49,6 +49,10 @@ class YOLOGraph(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         spec = self.spec
+        if spec.activation:  # YAML `activation:` override (reference yolo.py:313)
+            from yolov3_tpu.nn.activations import set_default_activation
+
+            set_default_activation(spec.activation)
         x = x.astype(self.dtype)
         y = {}  # saved layer outputs
         out = x

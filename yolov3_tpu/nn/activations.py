@@ -48,10 +48,20 @@ ACTIVATIONS = {
 }
 
 
+# process-wide default for act=True — the reference's mutable Conv.default_act
+# (models/common.py:60, overridden by a YAML `activation:` key, yolo.py:313)
+_DEFAULT_ACT = [silu]
+
+
+def set_default_activation(act):
+    """Override the default activation (YAML `activation:` key)."""
+    _DEFAULT_ACT[0] = get_activation(act) if act not in (None, True) else silu
+
+
 def get_activation(act):
     """Resolve an activation spec (True/False/str/callable) to a function."""
     if act is True:
-        return silu
+        return _DEFAULT_ACT[0]
     if act in (False, None):
         return identity
     if callable(act):

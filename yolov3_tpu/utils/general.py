@@ -151,6 +151,21 @@ def yaml_save(file="data.yaml", data=None):
         yaml.safe_dump({k: str(v) if isinstance(v, Path) else v for k, v in (data or {}).items()}, f, sort_keys=False)
 
 
+def enable_compilation_cache(path=None):
+    """Enable JAX's persistent compilation cache. On remote-compile TPU
+    runtimes a fresh process otherwise re-pays minutes of XLA compilation for
+    every shape it has ever seen."""
+    import jax
+
+    path = str(path or (ROOT / ".jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # noqa: BLE001
+        LOGGER.warning(f"compilation cache not enabled: {e}")
+    return path
+
+
 def init_seeds(seed=0, deterministic=False):
     """Seed python/numpy RNGs and return a jax PRNG key.
 
