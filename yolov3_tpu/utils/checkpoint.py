@@ -52,7 +52,7 @@ def strip_checkpoint(path, out=None):
     state, meta = load_checkpoint(path)
     ema = state.get("ema", {}).get("ema")
     variables = ema if ema else {"params": state["params"], "batch_stats": state.get("batch_stats", {})}
-    out = Path(out or path)
+    out = Path(out or path).resolve()  # orbax requires absolute paths
     ckpt = ocp.StandardCheckpointer()
     ckpt.save(out / "state", {"params": variables["params"], "batch_stats": variables.get("batch_stats", {})},
               force=True)
