@@ -125,3 +125,23 @@ def test_freeze_layers():
     p1_after = np.asarray(jax.tree.leaves(state["params"]["l1"])[0])
     np.testing.assert_array_equal(p0_before, p0_after)
     assert not np.allclose(p1_before, p1_after)
+
+
+def test_autobalance_updates():
+    """autobalance carries per-scale obj weights in state and renormalizes them."""
+    import dataclasses
+
+    model = DetectionModel.from_config(SPEC, imgsz=64)
+    cfg = dataclasses.replace(LossConfig.from_model(model.spec, HYP), autobalance=True)
+    tx, _, _ = build_optimizer("sgd", model.params, HYP, 10, 10, batch_size=64, min_warmup_steps=0)
+    step = make_train_step(model.module, cfg, tx)
+    state = init_train_state(model, tx, loss_cfg=cfg)
+    b0 = np.asarray(state["balance"]).copy()
+    imgs, targets, mask = make_batch()
+    state, _ = step(state, imgs, targets, mask)
+    b1 = np.asarray(state["balance"])
+    assert b1.shape == b0.shape
+    assert not np.allclose(b0, b1)
+    # normalized by the stride-16 scale (index of stride 16 in SPEC strides)
+    ssi = model.spec.strides.index(16)
+    assert abs(b1[ssi] - 1.0) < 1e-5

@@ -55,6 +55,32 @@ def letterbox(im, new_shape=(640, 640), color=(114, 114, 114), auto=True, scale_
     return im, ratio, (dw, dh)
 
 
+class Albumentations:
+    """Optional albumentations pipeline (reference augmentations.py:14-54);
+    silently inactive when the package is missing."""
+
+    def __init__(self, size=640):
+        self.transform = None
+        try:
+            import albumentations as A
+
+            self.transform = A.Compose(
+                [A.Blur(p=0.01), A.MedianBlur(p=0.01), A.ToGray(p=0.01), A.CLAHE(p=0.01)],
+                bbox_params=A.BboxParams(format="yolo", label_fields=["class_labels"]),
+            )
+        except ImportError:
+            pass
+
+    def __call__(self, im, labels, p=1.0):
+        if self.transform and random.random() < p:
+            new = self.transform(image=im, bboxes=labels[:, 1:], class_labels=labels[:, 0])
+            im = new["image"]
+            labels = np.array([[c, *b] for c, b in zip(new["class_labels"], new["bboxes"])], np.float32)
+            if not len(labels):
+                labels = np.zeros((0, 5), np.float32)
+        return im, labels
+
+
 def augment_hsv(im, hgain=0.5, sgain=0.5, vgain=0.5):
     """In-place LUT-based HSV jitter on a BGR uint8 image (reference augmentations.py:57-73)."""
     if not (hgain or sgain or vgain):

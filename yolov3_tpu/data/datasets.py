@@ -307,6 +307,31 @@ def collate_fixed(samples, max_labels=300):
     return imgs, targets, mask, shapes
 
 
+def collate_quad(samples, max_labels=300):
+    """Quad collate (reference collate_fn4, dataloaders.py:832-858): combine
+    groups of 4 samples into one 2x-resolution image (stitched 2x2) with
+    merged labels — trains large-image batches at 1/4 the batch count."""
+    assert len(samples) % 4 == 0, "quad collate needs a batch divisible by 4"
+    s = samples[0][0].shape[0]
+    out = []
+    for g in range(len(samples) // 4):
+        quad = samples[g * 4 : (g + 1) * 4]
+        im = np.zeros((2 * s, 2 * s, 3), np.uint8)
+        lbs = []
+        for j, (img, lb, _) in enumerate(quad):
+            y0, x0 = (j // 2) * s, (j % 2) * s
+            im[y0 : y0 + s, x0 : x0 + s] = img
+            if len(lb):
+                lb = lb.copy()
+                lb[:, 1] = (lb[:, 1] + (j % 2)) / 2
+                lb[:, 2] = (lb[:, 2] + (j // 2)) / 2
+                lb[:, 3:5] /= 2
+                lbs.append(lb)
+        lbs = np.concatenate(lbs, 0) if lbs else np.zeros((0, 5), np.float32)
+        out.append((im, lbs.astype(np.float32), quad[0][2]))
+    return collate_fixed(out, max_labels)
+
+
 class DataLoader:
     """Minimal iterable loader with background prefetch (the reference's
     InfiniteDataLoader/_RepeatSampler, dataloaders.py:132-170, exists to reuse

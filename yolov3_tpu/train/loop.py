@@ -155,7 +155,7 @@ def train(
     )
     mesh = create_mesh()
     step_fn = make_train_step(model.module, loss_cfg, tx, mesh=mesh)
-    state = init_train_state(model, tx)
+    state = init_train_state(model, tx, loss_cfg=loss_cfg)
     if resume:
         last = Path(save_dir) / "weights" / "last"
         meta = yaml_load(last / "checkpoint.yaml")

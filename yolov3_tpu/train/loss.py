@@ -178,7 +178,7 @@ def assign_targets_layer(targets, mask, anchors, ny, nx, anchor_t):
     }
 
 
-def compute_loss(feats, targets, mask, cfg: LossConfig):
+def compute_loss(feats, targets, mask, cfg: LossConfig, balance=None, return_per_layer_obj=False):
     """Total detection loss.
 
     Args:
@@ -186,9 +186,12 @@ def compute_loss(feats, targets, mask, cfg: LossConfig):
         targets: (B, M, 5) padded per-image labels [cls, x, y, w, h] (normalized).
         mask: (B, M) label validity.
         cfg: LossConfig (static).
+        balance: optional (nl,) per-scale obj weights overriding cfg.balance
+            (used by autobalance, reference loss.py:171-175).
+        return_per_layer_obj: also return the raw per-layer obj losses.
 
     Returns:
-        (total_loss_scaled_by_bs, jnp.array([lbox, lobj, lcls]))
+        (total_loss_scaled_by_bs, jnp.array([lbox, lobj, lcls])[, obj_per_layer])
     """
     bs = feats[0].shape[0]
     B, M, _ = targets.shape
@@ -202,6 +205,7 @@ def compute_loss(feats, targets, mask, cfg: LossConfig):
     lbox = 0.0
     lobj = 0.0
     lcls = 0.0
+    obj_per_layer = []
     for i, pi in enumerate(feats):
         pi = pi.astype(jnp.float32)
         _, na, ny, nx, no = pi.shape
@@ -234,7 +238,10 @@ def compute_loss(feats, targets, mask, cfg: LossConfig):
         obj_loss = bce_with_logits(obj_logits, tobj, cfg.obj_pw)
         if cfg.fl_gamma > 0:
             obj_loss = focal_modulation(obj_logits, tobj, obj_loss, cfg.fl_gamma)
-        lobj = lobj + obj_loss.mean() * cfg.balance[i]
+        obji = obj_loss.mean()
+        obj_per_layer.append(jax.lax.stop_gradient(obji))
+        w_i = balance[i] if balance is not None else cfg.balance[i]
+        lobj = lobj + obji * w_i
 
         # classification (loss.py:163-167)
         if cfg.nc > 1:
@@ -248,4 +255,14 @@ def compute_loss(feats, targets, mask, cfg: LossConfig):
     lobj = lobj * cfg.obj
     lcls = lcls * cfg.cls
     total = (lbox + lobj + lcls) * bs  # reference scales by batch size (loss.py:179-181)
-    return total, jax.lax.stop_gradient(jnp.stack([lbox, lobj, lcls]))
+    comps = jax.lax.stop_gradient(jnp.stack([lbox, lobj, lcls]))
+    if return_per_layer_obj:
+        return total, comps, jnp.stack(obj_per_layer)
+    return total, comps
+
+
+def update_balance(balance, obj_per_layer, ssi=0):
+    """Autobalance EMA of per-scale obj weights (reference loss.py:171-175):
+    b_i <- 0.9999*b_i + 0.0001/obj_i, then normalized by the stride-16 scale."""
+    new = balance * 0.9999 + 0.0001 / jnp.clip(obj_per_layer, 1e-6, None)
+    return new / new[ssi]

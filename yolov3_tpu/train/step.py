@@ -44,17 +44,23 @@ def make_train_step(module, loss_cfg: LossConfig, tx, mesh=None, ema_decay=0.999
     Returns step_fn(state, imgs_u8, targets, mask[, scale_idx]) -> (state, metrics).
     """
 
+    autobalance = loss_cfg.autobalance
+    ssi = loss_cfg.strides.index(16) if (autobalance and 16 in loss_cfg.strides) else 0
+
     def train_step(state, imgs, targets, mask):
         x = normalize_images(imgs)
+        balance = state.get("balance") if autobalance else None
 
         def loss_fn(params):
             feats, mut = module.apply(
                 {"params": params, "batch_stats": state["batch_stats"]}, x, train=True, mutable=["batch_stats"]
             )
-            loss, comps = compute_loss(list(feats), targets, mask, loss_cfg)
-            return loss, (mut["batch_stats"], comps)
+            loss, comps, obj_pl = compute_loss(
+                list(feats), targets, mask, loss_cfg, balance=balance, return_per_layer_obj=True
+            )
+            return loss, (mut["batch_stats"], comps, obj_pl)
 
-        (loss, (new_bstats, comps)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state["params"])
+        (loss, (new_bstats, comps, obj_pl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state["params"])
         updates, new_opt = tx.update(grads, state["opt"], state["params"])
         new_params = optax.apply_updates(state["params"], updates)
         new_ema = EMA.update(
@@ -67,6 +73,10 @@ def make_train_step(module, loss_cfg: LossConfig, tx, mesh=None, ema_decay=0.999
             "ema": new_ema,
             "step": state["step"] + 1,
         }
+        if autobalance:
+            from yolov3_tpu.train.loss import update_balance
+
+            new_state["balance"] = update_balance(state["balance"], obj_pl, ssi)
         metrics = {"loss": loss, "lbox": comps[0], "lobj": comps[1], "lcls": comps[2]}
         return new_state, metrics
 
@@ -97,15 +107,18 @@ def make_eval_step(module, mesh=None):
     return jax.jit(eval_step, in_shardings=(repl, data), out_shardings=(data,))
 
 
-def init_train_state(model, tx, key=None):
+def init_train_state(model, tx, key=None, loss_cfg=None):
     """Build the initial train-state pytree from a DetectionModel handle."""
     variables = model.variables
     opt_state = tx.init(variables["params"])
     ema = EMA(variables).state
-    return {
+    state = {
         "params": variables["params"],
         "batch_stats": variables.get("batch_stats", {}),
         "opt": opt_state,
         "ema": ema,
         "step": jnp.zeros((), jnp.int32),
     }
+    if loss_cfg is not None and loss_cfg.autobalance:
+        state["balance"] = jnp.asarray(loss_cfg.balance, jnp.float32)
+    return state
