@@ -90,6 +90,49 @@ def test_max_det():
     assert out[0].shape[0] == 10
 
 
+def greedy_nms_oracle(boxes_xyxy, scores, iou_thres):
+    """Plain-python greedy NMS (torchvision semantics): sort by score, keep a
+    box iff it doesn't overlap any previously-kept box above the threshold."""
+    order = np.argsort(-scores)
+    keep = []
+    for i in order:
+        ok = True
+        for j in keep:
+            b1, b2 = boxes_xyxy[i], boxes_xyxy[j]
+            iw = max(0.0, min(b1[2], b2[2]) - max(b1[0], b2[0]))
+            ih = max(0.0, min(b1[3], b2[3]) - max(b1[1], b2[1]))
+            inter = iw * ih
+            a1 = (b1[2] - b1[0]) * (b1[3] - b1[1])
+            a2 = (b2[2] - b2[0]) * (b2[3] - b2[1])
+            if inter / (a1 + a2 - inter + 1e-7) > iou_thres:
+                ok = False
+                break
+        if ok:
+            keep.append(i)
+    return np.array(keep)
+
+
+def test_against_numpy_oracle(rng):
+    """Golden test: the fixed-shape loop == sequential greedy NMS (always runs)."""
+    n = 300
+    xy = rng.uniform(50, 600, size=(n, 2)).astype(np.float32)
+    wh = rng.uniform(10, 80, size=(n, 2)).astype(np.float32)
+    boxes_xyxy = np.concatenate([xy - wh / 2, xy + wh / 2], axis=1)
+    scores = rng.uniform(0.3, 1.0, size=n).astype(np.float32)
+
+    keep = greedy_nms_oracle(boxes_xyxy, scores, 0.5)[:100]
+
+    pred = np.zeros((1, n, 6), dtype=np.float32)
+    pred[0, :, :4] = np.concatenate([xy, wh], axis=1)
+    pred[0, :, 4] = scores
+    pred[0, :, 5] = 1.0
+    out, n_valid = map(np.asarray, batched_nms(pred, conf_thres=0.25, iou_thres=0.5, max_det=100))
+    ours = out[0, : n_valid[0]]
+    assert n_valid[0] == len(keep)
+    np.testing.assert_allclose(ours[:, :4], boxes_xyxy[keep], rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(ours[:, 4], scores[keep], rtol=1e-5)
+
+
 def test_against_torchvision(rng):
     """Golden test: our greedy loop == torchvision.ops.nms on random boxes."""
     torchvision = pytest.importorskip("torchvision")

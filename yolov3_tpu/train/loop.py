@@ -18,8 +18,6 @@ TPU re-design highlights vs the reference:
 
 from __future__ import annotations
 
-import csv
-import math
 import time
 from pathlib import Path
 
@@ -39,13 +37,6 @@ from yolov3_tpu.train.step import init_train_state, make_train_step
 from yolov3_tpu.utils.callbacks import Callbacks
 from yolov3_tpu.utils.checkpoint import load_checkpoint, save_checkpoint, strip_checkpoint
 from yolov3_tpu.utils.general import LOGGER, colorstr, increment_path, init_seeds, yaml_load, yaml_save
-
-RESULTS_KEYS = (
-    "epoch", "train/box_loss", "train/obj_loss", "train/cls_loss",
-    "metrics/precision", "metrics/recall", "metrics/mAP_0.5", "metrics/mAP_0.5:0.95",
-    "val/box_loss", "val/obj_loss", "val/cls_loss", "x/lr0", "x/lr1",
-)  # fmt: skip
-
 
 def train(
     data,
@@ -89,6 +80,10 @@ def train(
     hyp = dict(hyp or yaml_load(Path(__file__).parents[1] / "data" / "hyps" / "scratch-low.yaml"))
     yaml_save(save_dir / "hyp.yaml", hyp)
     init_seeds(seed)
+    if jax.process_index() == 0:
+        from yolov3_tpu.utils.loggers import Loggers
+
+        Loggers(save_dir=save_dir, hyp=hyp).attach(callbacks)
     callbacks.run("on_pretrain_routine_start")
 
     # data
@@ -241,9 +236,9 @@ def train(
                 single_cls=single_cls,
             )
             fi = float(fitness(np.array(results).reshape(1, -1)))
-        callbacks.run("on_fit_epoch_end", epoch=epoch, fitness=fi)
-
-        _write_results_csv(results_file, epoch, mloss, results, lr_now)
+        # 13 standard keys -> Loggers fan-out (CSV always, TB/W&B/... when active)
+        vals = [*mloss, *[float(v) for v in (list(results) + [0.0] * 7)[:7]], lr_now, lr_now, lr_now]
+        callbacks.run("on_fit_epoch_end", epoch=epoch, fitness=fi, vals=vals)
 
         # checkpointing (reference train.py:469-489)
         if not nosave and jax.process_index() == 0:
@@ -274,16 +269,6 @@ def train(
     callbacks.run("on_train_end")
     callbacks.run("teardown")
     return best_fitness, results, save_dir
-
-
-def _write_results_csv(path, epoch, mloss, results, lr):
-    new = not path.exists()
-    with open(path, "a", newline="") as f:
-        w = csv.writer(f)
-        if new:
-            w.writerow(RESULTS_KEYS)
-        vals = results if len(results) >= 7 else tuple(results) + (0,) * (7 - len(results))
-        w.writerow([epoch, *[f"{x:.5f}" for x in mloss], *[f"{float(v):.5f}" for v in vals[:7]], f"{lr:.6f}", f"{lr:.6f}"])
 
 
 def _resume_model(save_dir):
