@@ -23,7 +23,7 @@ import numpy as np
 A100_BASELINE_IMGS_PER_S = 200.0
 
 
-def main(model_name="yolov3", imgsz=640, batch=16, iters=8, dtype="bfloat16", max_nms=4096):
+def main(model_name="yolov3", imgsz=640, batch=64, iters=8, dtype="bfloat16", max_nms=4096):
     import jax
     import jax.numpy as jnp
 
@@ -97,7 +97,7 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="yolov3")
     p.add_argument("--imgsz", type=int, default=640)
-    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--batch", type=int, default=64)
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--dtype", default="bfloat16")
     a = p.parse_args()
