@@ -65,9 +65,15 @@ def main(model_name="yolov3", imgsz=640, batch=64, iters=8, dtype="bfloat16", ma
     imgs = jax.device_put(imgs)
 
     # warmup / compile (materialize to force real execution through the runtime)
-    dets, n = pipeline(model.variables, imgs)
-    np.asarray(n)
-    np.asarray(dets)
+    try:
+        dets, n = pipeline(model.variables, imgs)
+        np.asarray(n)
+        np.asarray(dets)
+    except Exception as e:  # noqa: BLE001 — smaller devices: retry at batch 16
+        if batch <= 16:
+            raise
+        print(f"# batch {batch} failed ({type(e).__name__}); retrying at 16", flush=True)
+        return main(model_name, imgsz, 16, iters, dtype, max_nms)
 
     best = float("inf")
     for _ in range(3):  # best-of-3: the tunnel adds run-to-run noise
