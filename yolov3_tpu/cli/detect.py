@@ -12,6 +12,7 @@ shape bucket.
 from __future__ import annotations
 
 import argparse
+import os
 import platform
 from pathlib import Path
 
@@ -160,7 +161,7 @@ def run(
                         save_one_box(xyxy, im0, file=save_dir / "crops" / str(names.get(c, c)) / f"{p.stem}.jpg")
 
             im0 = annotator.result()
-            if view_img and platform.system() != "Linux" or (view_img and "DISPLAY" in __import__("os").environ):
+            if view_img and (platform.system() != "Linux" or os.environ.get("DISPLAY")):
                 cv2.imshow(str(p), im0)
                 cv2.waitKey(1)
             if save_img:
