@@ -1,0 +1,77 @@
+"""Multi-device SPMD correctness + the driver-facing dryrun entry.
+
+Validates the contract the reference never could test in CI (SURVEY.md §4):
+data-parallel semantics on a virtual 8-device CPU mesh — the 8-way sharded
+step must produce the SAME global-batch loss as the 1-device step (global
+BatchNorm statistics by GSPMD construction = SyncBN, reference
+train.py:270-272, and mean-loss gradients with no `loss *= WORLD_SIZE`
+compensation, reference train.py:405-406).
+"""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _make_batch(B=8, M=8, seed=0):
+    rng = np.random.default_rng(seed)
+    imgs = rng.integers(0, 255, size=(B, 64, 64, 3), dtype=np.uint8)
+    targets = np.zeros((B, M, 5), np.float32)
+    targets[:, 0] = [0, 0.5, 0.5, 0.25, 0.25]
+    targets[:, 1] = [1, 0.3, 0.6, 0.1, 0.2]
+    mask = np.zeros((B, M), bool)
+    mask[:, :2] = True
+    return imgs, targets, mask
+
+
+def _run_one_step(devices, imgs, targets, mask):
+    from yolov3_tpu.models.detection import DetectionModel
+    from yolov3_tpu.parallel.mesh import create_mesh, replicate, shard_batch
+    from yolov3_tpu.train.loss import LossConfig
+    from yolov3_tpu.train.optim import build_optimizer
+    from yolov3_tpu.train.step import init_train_state, make_train_step
+
+    mesh = create_mesh(devices)
+    model = DetectionModel.from_config("yolov3-tiny", imgsz=64)
+    hyp = {"lr0": 0.01, "lrf": 0.01, "momentum": 0.937, "weight_decay": 0.0005}
+    tx, _, _ = build_optimizer("sgd", model.params, hyp, epochs=3, steps_per_epoch=10, batch_size=64)
+    loss_cfg = LossConfig.from_model(model.spec, hyp)
+    step_fn = make_train_step(model.module, loss_cfg, tx, mesh=mesh)
+    state = replicate(mesh, init_train_state(model, tx))
+    batch = shard_batch(mesh, (imgs, targets, mask))
+    state, metrics = step_fn(state, *batch)
+    return state, {k: float(v) for k, v in metrics.items()}
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_8dev_loss_matches_1dev():
+    """SyncBN + mean-loss parity: same global batch => same loss on 1 vs 8 devices."""
+    imgs, targets, mask = _make_batch(B=8)
+    state8, m8 = _run_one_step(jax.devices()[:8], imgs, targets, mask)
+    state1, m1 = _run_one_step(jax.devices()[:1], imgs, targets, mask)
+    assert np.isfinite(m8["loss"])
+    np.testing.assert_allclose(m8["loss"], m1["loss"], rtol=2e-5)
+    for k in ("lbox", "lobj", "lcls"):
+        np.testing.assert_allclose(m8[k], m1[k], rtol=2e-4, atol=1e-7)
+    # updated params must also agree (gradient all-reduce correctness)
+    p8 = jax.tree.leaves(state8["params"])[0]
+    p1 = jax.tree.leaves(state1["params"])[0]
+    np.testing.assert_allclose(np.asarray(p8), np.asarray(p1), rtol=1e-4, atol=1e-6)
+
+
+def test_dryrun_multichip_subprocess():
+    """The driver-facing entry must succeed even from a TPU-env parent
+    (round-1 gate failure: MULTICHIP_r01.json ok=false)."""
+    code = (
+        f"import sys; sys.path.insert(0, {str(REPO)!r}); "
+        "import __graft_entry__ as g; g.dryrun_multichip(8)"
+    )
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-4000:]
+    assert "one sharded train step OK" in r.stdout
