@@ -1,0 +1,88 @@
+"""Fused per-scale top-k decode must match the full decode + NMS pipeline.
+
+The fast serving path (decode_topk_candidates -> nms_from_candidates) is a
+pure re-ordering of the same math as decode_predictions -> batched_nms at
+single-label settings; whenever the per-scale candidate count fits in k,
+the final detections must be identical (reference semantics:
+utils/general.py:630-750 at speed-task thresholds, val.py:605-609).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from yolov3_tpu.models.detect_head import decode_predictions, decode_topk_candidates
+from yolov3_tpu.ops.nms import batched_nms, nms_from_candidates
+
+ANCHORS = np.array(
+    [[[10, 13], [16, 30], [33, 23]], [[30, 61], [62, 45], [59, 119]], [[116, 90], [156, 198], [373, 326]]],
+    np.float32,
+)
+STRIDES = (8, 16, 32)
+
+
+def make_feats(bs=2, nc=80, sizes=((16, 16), (8, 8), (4, 4)), seed=0, obj_bias=-2.0):
+    """Raw head outputs with a few strong candidates per image."""
+    rng = np.random.default_rng(seed)
+    feats = []
+    for ny, nx in sizes:
+        f = rng.normal(-4.0, 1.0, size=(bs, 3, ny, nx, nc + 5)).astype(np.float32)
+        # plant some confident detections: obj and one class pushed high
+        for b in range(bs):
+            for _ in range(5):
+                a, y, x = rng.integers(0, 3), rng.integers(0, ny), rng.integers(0, nx)
+                f[b, a, y, x, 4] = rng.uniform(1.0, 4.0)
+                f[b, a, y, x, 5 + rng.integers(0, nc)] = rng.uniform(2.0, 5.0)
+        feats.append(jnp.asarray(f))
+    return feats
+
+
+@pytest.mark.parametrize("conf", [0.25, 0.1])
+def test_fused_topk_matches_full_pipeline(conf):
+    feats = make_feats()
+    pred = decode_predictions(feats, ANCHORS, STRIDES)
+    ref_out, ref_n = batched_nms(pred, conf_thres=conf, iou_thres=0.45, max_det=100, max_nms=4096)
+
+    boxes, scores, cls_ids = decode_topk_candidates(
+        feats, ANCHORS, STRIDES, k_per_scale=(128, 64, 32), conf_thres=conf
+    )
+    out, n = nms_from_candidates(boxes, scores, cls_ids, iou_thres=0.45, max_det=100)
+
+    np.testing.assert_array_equal(np.asarray(n), np.asarray(ref_n))
+    for b in range(out.shape[0]):
+        nb = int(n[b])
+        np.testing.assert_allclose(
+            np.asarray(out[b, :nb]), np.asarray(ref_out[b, :nb]), rtol=1e-5, atol=1e-4
+        )
+
+
+def test_fused_topk_candidate_scores():
+    """Scores/classes of extracted candidates match the decoded tensor's obj*cls."""
+    feats = make_feats(bs=1)
+    pred = np.asarray(decode_predictions(feats, ANCHORS, STRIDES))[0]  # (N, 85)
+    conf_full = pred[:, 4:5] * pred[:, 5:]
+    best = conf_full.max(1)
+    order = np.argsort(-best)
+
+    boxes, scores, cls_ids = decode_topk_candidates(
+        feats, ANCHORS, STRIDES, k_per_scale=(128, 64, 32), conf_thres=0.25
+    )
+    scores = np.asarray(scores[0])
+    got = np.sort(scores[scores > 0])[::-1]
+    want = np.sort(best[(best > 0.25) & (pred[:, 4] > 0.25)])[::-1]
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_fused_topk_empty():
+    """No candidate above threshold -> zero detections, no crash."""
+    rng = np.random.default_rng(1)
+    feats = [
+        jnp.asarray(rng.normal(-8.0, 0.5, size=(2, 3, ny, nx, 85)).astype(np.float32))
+        for ny, nx in ((16, 16), (8, 8), (4, 4))
+    ]
+    boxes, scores, cls_ids = decode_topk_candidates(feats, ANCHORS, STRIDES, conf_thres=0.25)
+    out, n = nms_from_candidates(boxes, scores, cls_ids)
+    assert int(np.asarray(n).sum()) == 0
+    assert np.asarray(out).shape == (2, 300, 6)

@@ -81,7 +81,11 @@ def run(
     iouv = np.linspace(0.5, 0.95, 10)
     niou = iouv.shape[0]
 
-    forward = _cached_forward(model, conf_thres, 0.45 if task == "speed" else iou_thres, max_det, max_nms)
+    with_loss = bool(compute_loss_flag and loss_cfg is not None)
+    forward = _cached_forward(
+        model, conf_thres, 0.45 if task == "speed" else iou_thres, max_det, max_nms,
+        loss_cfg=loss_cfg if with_loss else None,
+    )
 
     stats = []
     loss_sum = np.zeros(3)
@@ -96,11 +100,13 @@ def run(
         with dt[0]:
             imgs_dev = jax.device_put(imgs)
         with dt[1]:
-            dets, n_valid, feats = forward(model.variables, imgs_dev)
+            if with_loss:  # loss folded into the same jitted program (no eager re-trace per batch)
+                dets, n_valid, comps = forward(model.variables, imgs_dev, targets, mask)
+            else:
+                dets, n_valid = forward(model.variables, imgs_dev)
             dets = np.asarray(jax.block_until_ready(dets))
             n_valid = np.asarray(n_valid)
-        if compute_loss_flag and loss_cfg is not None:
-            _, comps = compute_loss([np.asarray(f) for f in feats], targets, mask, loss_cfg)
+        if with_loss:
             loss_sum += np.asarray(comps)
             n_batches += 1
 
@@ -138,8 +144,12 @@ def run(
                 if save_json and len(pred):
                     _append_coco_json(jdict, pred, Path(dataloader.dataset.im_files[seen - 1]), class_map)
 
-    # aggregate
-    stats_cat = [np.concatenate([s[i] for s in stats], 0) for i in range(4)]
+    # aggregate (guard the zero-batch and zero-TP paths — they must not crash)
+    if stats:
+        stats_cat = [np.concatenate([s[i] for s in stats], 0) for i in range(4)]
+    else:
+        stats_cat = [np.zeros((0, niou), bool), np.zeros(0), np.zeros(0), np.zeros(0)]
+    p = r = ap50 = ap_mean = np.zeros(0)
     if len(stats_cat) and stats_cat[0].any():
         tp, fp, p, r, f1, ap, ap_class, curves = ap_per_class(*stats_cat, curves=True)
         ap50, ap_mean = ap[:, 0], ap.mean(1)
@@ -160,7 +170,7 @@ def run(
         ap_mean = np.zeros(nc)
         ap_class = np.array([], int)
 
-    nt = np.bincount(stats_cat[3].astype(int), minlength=nc) if len(stats_cat) else np.zeros(nc)
+    nt = np.bincount(stats_cat[3].astype(int), minlength=nc) if len(stats_cat[3]) else np.zeros(nc)
     LOGGER.info(f"{'all':>12}{seen:>11}{int(nt.sum()):>11}{mp:>11.3g}{mr:>11.3g}{map50:>11.3g}{map_:>11.3g}")
     if verbose and nc > 1 and len(ap_class):
         for i, c in enumerate(ap_class):
@@ -189,14 +199,17 @@ def run(
 _FORWARD_CACHE = {}
 
 
-def _cached_forward(model, conf_thres, iou_thres, max_det, max_nms):
-    """Jitted forward+decode+NMS, cached by (module, nms params).
+def _cached_forward(model, conf_thres, iou_thres, max_det, max_nms, loss_cfg=None):
+    """Jitted forward+decode+NMS (+ optional val loss), cached by (module, nms
+    params, loss_cfg).
 
     The linen module is a frozen dataclass (spec/dtype/fused), so equal
     architectures share one jitted function — without this, per-epoch
     validation re-traced and re-COMPILED the whole model every epoch
-    (minutes per compile through a remote-compile TPU runtime)."""
-    key = (model.module, float(conf_thres), float(iou_thres), int(max_det), int(max_nms))
+    (minutes per compile through a remote-compile TPU runtime). The in-train
+    val loss (reference val.py:367-368) runs INSIDE the same program: tracing
+    compute_loss eagerly per batch on host numpy was both slow and wasteful."""
+    key = (model.module, float(conf_thres), float(iou_thres), int(max_det), int(max_nms), loss_cfg)
     fn = _FORWARD_CACHE.get(key)
     if fn is None:
         module = model.module
@@ -212,12 +225,24 @@ def _cached_forward(model, conf_thres, iou_thres, max_det, max_nms):
                 pred, conf_thres=conf_thres, iou_thres=iou_thres,
                 multi_label=True, max_det=max_det, max_nms=max_nms,
             )
-            return dets, n_valid, feats
+            return dets, n_valid
+
+        @jax.jit
+        def forward_with_loss(variables, imgs_u8, targets, tmask):
+            x = imgs_u8.astype(jax.numpy.float32) / 255.0
+            feats = module.apply(variables, x, train=False)
+            pred = decode_predictions(feats, anchors, strides)
+            dets, n_valid = batched_nms(
+                pred, conf_thres=conf_thres, iou_thres=iou_thres,
+                multi_label=True, max_det=max_det, max_nms=max_nms,
+            )
+            _, comps = compute_loss(list(feats), targets, tmask, loss_cfg)
+            return dets, n_valid, comps
 
         if len(_FORWARD_CACHE) > 8:
             _FORWARD_CACHE.clear()
-        _FORWARD_CACHE[key] = forward
-        fn = forward
+        fn = forward_with_loss if loss_cfg is not None else forward
+        _FORWARD_CACHE[key] = fn
     return fn
 
 

@@ -16,6 +16,7 @@ import math
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -72,6 +73,71 @@ def make_grid(ny: int, nx: int, dtype=jnp.float32):
     """
     yv, xv = jnp.meshgrid(jnp.arange(ny, dtype=dtype), jnp.arange(nx, dtype=dtype), indexing="ij")
     return jnp.stack([xv, yv], axis=-1).reshape(1, 1, ny, nx, 2) - 0.5
+
+
+def decode_topk_candidates(feats, anchors, strides, k_per_scale=(256, 128, 64), conf_thres=0.25):
+    """Fused per-scale top-k candidate extraction straight from raw Detect feats.
+
+    The full decode (`decode_predictions`) materializes (bs, N, no) float32
+    several times (decode, conf product, candidate mask) — ~6 HBM passes over
+    half a GB at bs64/640px — before NMS throws away all but a few hundred
+    rows. This path computes single-label scores in one fused pass over the
+    head outputs, takes a per-scale top-k on them, and decodes ONLY the
+    gathered candidates (grid position reconstructed from the flat index).
+
+    Exactly equivalent to decode_predictions + batched_nms's single-label prep
+    (reference utils/general.py:630-714 semantics: conf = obj * cls_max,
+    candidates require obj > conf_thres and conf > conf_thres) whenever the
+    per-scale candidate count is <= k_per_scale[i]; at speed-task thresholds
+    (conf 0.25, reference val.py:605-609) that holds by orders of magnitude.
+
+    Returns (boxes_xyxy (bs, K, 4), scores (bs, K), cls_ids (bs, K)) with
+    invalid slots marked score=-1, K = sum(k_per_scale).
+    """
+    anchors = jnp.asarray(anchors, dtype=jnp.float32).reshape(len(feats), -1, 2)
+    boxes_all, scores_all, cls_all = [], [], []
+    for i, f in enumerate(feats):
+        bs, na, ny, nx, no = f.shape
+        nc = no - 5
+        k = min(int(k_per_scale[min(i, len(k_per_scale) - 1)]), na * ny * nx)
+        flat = f.reshape(bs, na * ny * nx, no)
+
+        obj_sig = nn.sigmoid(flat[..., 4])
+        cls_logit_max = jnp.max(flat[..., 5:], axis=-1)
+        cls_arg = jnp.argmax(flat[..., 5:], axis=-1)
+        score = obj_sig * nn.sigmoid(cls_logit_max)  # sigmoid is monotonic: max(sig(c)) = sig(max(c))
+        valid = (score > conf_thres) & (obj_sig > conf_thres)
+        masked = jnp.where(valid, score, -1.0)
+
+        top_s, top_i = jax.lax.top_k(masked, k)  # (bs, k)
+
+        # reconstruct (anchor, y, x) from the flat index
+        a_idx = top_i // (ny * nx)
+        rem = top_i % (ny * nx)
+        y_idx = rem // nx
+        x_idx = rem % nx
+
+        txywh = jnp.take_along_axis(flat[..., :4], top_i[..., None], axis=1)  # (bs, k, 4)
+        sig = nn.sigmoid(txywh)
+        gx = x_idx.astype(jnp.float32) - 0.5
+        gy = y_idx.astype(jnp.float32) - 0.5
+        cx = (sig[..., 0] * 2 + gx) * strides[i]
+        cy = (sig[..., 1] * 2 + gy) * strides[i]
+        awh = anchors[i][a_idx]  # (bs, k, 2)
+        w = (sig[..., 2] * 2) ** 2 * awh[..., 0]
+        h = (sig[..., 3] * 2) ** 2 * awh[..., 1]
+        boxes = jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=-1)
+
+        top_cls = jnp.take_along_axis(cls_arg, top_i, axis=1).astype(jnp.float32)
+        boxes_all.append(boxes)
+        scores_all.append(top_s)
+        cls_all.append(top_cls)
+
+    return (
+        jnp.concatenate(boxes_all, axis=1),
+        jnp.concatenate(scores_all, axis=1),
+        jnp.concatenate(cls_all, axis=1),
+    )
 
 
 def decode_predictions(feats, anchors, strides):

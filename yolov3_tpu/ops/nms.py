@@ -177,6 +177,28 @@ def batched_nms(
     return out_b, n_valid_b
 
 
+def nms_from_candidates(
+    boxes, scores, cls_ids, iou_thres=0.45, max_det=300, agnostic=False, use_pallas=False
+):
+    """Greedy NMS over pre-extracted candidates (bs, K, ...) — the fused fast
+    path fed by `decode_topk_candidates`, skipping `batched_nms`'s full-tensor
+    prep. Invalid slots are marked by scores < 0. Same class-offset trick and
+    greedy semantics as `batched_nms` (reference general.py:731-733).
+
+    Returns (out (bs, max_det, 6), n_valid (bs,)).
+    """
+    offset = jnp.where(agnostic, 0.0, cls_ids * MAX_WH)
+    boxes_off = boxes + offset[..., None]
+    scores = jnp.where(scores > 0, scores, -1.0)
+    if use_pallas:
+        from yolov3_tpu.ops.nms_pallas import pallas_greedy_nms
+
+        return pallas_greedy_nms(boxes_off, boxes, scores, cls_ids, iou_thres, max_det)
+    return jax.vmap(lambda bo, bx, s, c: _greedy_nms(bo, bx, s, c, iou_thres, max_det))(
+        boxes_off, boxes, scores, cls_ids
+    )
+
+
 def non_max_suppression(
     prediction,
     conf_thres=0.25,

@@ -61,8 +61,10 @@ class Schedules(NamedTuple):
 
 
 def build_schedules(hyp, epochs, steps_per_epoch, batch_size, nbs=64, cos_lr=False, min_warmup_steps=100):
-    """Pure functions of the global optimizer step implementing the reference's
-    warmup + linear/one-cycle schedule (train.py:241-249, 339, 383-391)."""
+    """Pure functions of the global LOADER step (one per data batch) implementing
+    the reference's warmup + linear/one-cycle schedule (train.py:241-249, 339,
+    383-391). Callers stepping once per OPTIMIZER update (grad accumulation)
+    must convert: loader_step = optimizer_step * accumulate."""
     lr0 = hyp.get("lr0", 0.01)
     lrf = hyp.get("lrf", 0.01)
     warmup_epochs = hyp.get("warmup_epochs", 3.0)
@@ -73,9 +75,9 @@ def build_schedules(hyp, epochs, steps_per_epoch, batch_size, nbs=64, cos_lr=Fal
     nw = max(round(warmup_epochs * steps_per_epoch), min_warmup_steps)  # warmup steps
     nw = max(nw, 1)
 
-    def lf(epoch):  # epoch -> decay fraction
+    def lf(epoch):  # epoch -> decay fraction (jnp-traceable: epoch may be a tracer)
         if cos_lr:
-            return ((1 - math.cos(epoch * math.pi / epochs)) / 2) * (lrf - 1) + 1
+            return ((1 - jnp.cos(epoch * math.pi / epochs)) / 2) * (lrf - 1) + 1
         return (1 - epoch / epochs) * (1.0 - lrf) + lrf
 
     def _epoch(step):
@@ -103,7 +105,11 @@ def build_schedules(hyp, epochs, steps_per_epoch, batch_size, nbs=64, cos_lr=Fal
 
 def sgd_with_schedules(schedules: Schedules, weight_decay=0.0005, nesterov=True, accumulate=1):
     """3-group SGD: decay on weights only, bias group gets its own warmup LR,
-    momentum follows the warmup schedule. Entirely jit-traceable."""
+    momentum follows the warmup schedule. Entirely jit-traceable.
+
+    `accumulate` converts this transform's per-update step counter back into
+    the loader-step domain the schedules are defined in (under MultiSteps the
+    inner update fires once per `accumulate` loader batches)."""
 
     def init_fn(params):
         mu = jax.tree.map(jnp.zeros_like, params)
@@ -111,16 +117,15 @@ def sgd_with_schedules(schedules: Schedules, weight_decay=0.0005, nesterov=True,
 
     def update_fn(grads, state, params):
         step = state["step"]
-        m = schedules.momentum(step.astype(jnp.float32))
+        loader_step = step.astype(jnp.float32) * float(accumulate)
+        m = schedules.momentum(loader_step)
         labels = make_param_labels(params)
 
         def upd(g, p, mu_leaf, lbl):
             g = g + (weight_decay * p if lbl == "weight" else 0.0)
             mu_new = m * mu_leaf + g  # torch SGD: buf = m*buf + grad
             d = g + m * mu_new if nesterov else mu_new
-            lr = schedules.bias_lr(step.astype(jnp.float32)) if lbl == "bias" else schedules.lr(
-                step.astype(jnp.float32)
-            )
+            lr = schedules.bias_lr(loader_step) if lbl == "bias" else schedules.lr(loader_step)
             return -lr * d, mu_new
 
         flat = jax.tree.map(upd, grads, params, state["mu"], labels)
@@ -128,10 +133,7 @@ def sgd_with_schedules(schedules: Schedules, weight_decay=0.0005, nesterov=True,
         mu = jax.tree.map(lambda t: t[1], flat, is_leaf=lambda x: isinstance(x, tuple))
         return updates, {"mu": mu, "step": step + 1}
 
-    tx = optax.GradientTransformation(init_fn, update_fn)
-    if accumulate > 1:
-        tx = optax.MultiSteps(tx, every_k_schedule=accumulate)
-    return tx
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def freeze_mask(params, freeze):
@@ -157,25 +159,44 @@ def build_optimizer(name, params, hyp, epochs, steps_per_epoch, batch_size, nbs=
     weight_decay = hyp.get("weight_decay", 0.0005) * batch_size * accumulate / nbs
     sch = build_schedules(hyp, epochs, steps_per_epoch, batch_size, nbs, cos_lr, min_warmup_steps)
 
-    if name.lower() in ("sgd", ""):
-        tx = optax.chain(
-            optax.clip_by_global_norm(10.0),  # reference clips grad norm 10.0 (train.py:417)
-            sgd_with_schedules(sch, weight_decay=weight_decay, nesterov=True, accumulate=1),
-        )
+    # Reference accumulation sums grads over k micro-batches before one
+    # clip+step (train.py:411-422); optax.MultiSteps emits their MEAN, so the
+    # inner chain rescales by k first. Schedules are loader-step functions;
+    # inner transforms step once per k loader batches, so they convert via
+    # `accumulate` (warmup nw = max(3 epochs, 100) LOADER iters, train.py:339).
+    def _wrap(inner):
         if accumulate > 1:
-            tx = optax.MultiSteps(tx, every_k_schedule=accumulate)
-    elif name.lower() in ("adam", "adamw"):
+            inner = optax.MultiSteps(
+                optax.chain(optax.scale(float(accumulate)), inner), every_k_schedule=accumulate
+            )
+        return inner
+
+    if name.lower() in ("sgd", ""):
+        tx = _wrap(
+            optax.chain(
+                optax.clip_by_global_norm(10.0),  # reference clips grad norm 10.0 (train.py:417)
+                sgd_with_schedules(sch, weight_decay=weight_decay, nesterov=True, accumulate=accumulate),
+            )
+        )
+    elif name.lower() in ("adam", "adamw", "rmsprop"):
         labels = make_param_labels(params)
         mask = jax.tree.map(lambda l: l == "weight", labels)
         beta1 = hyp.get("momentum", 0.937)
-        tx = optax.chain(
-            optax.clip_by_global_norm(10.0),
-            optax.add_decayed_weights(weight_decay, mask=mask),
-            optax.scale_by_adam(b1=beta1, b2=0.999),
-            optax.scale_by_schedule(lambda s: -sch.lr(s.astype(jnp.float32))),
+        if name.lower() == "rmsprop":
+            # reference smart_optimizer RMSProp(momentum) variant (torch_utils.py:221)
+            inner_opt = optax.chain(optax.scale_by_rms(decay=0.99, eps=1e-8), optax.trace(decay=beta1))
+        else:
+            inner_opt = optax.scale_by_adam(b1=beta1, b2=0.999)
+        tx = _wrap(
+            optax.chain(
+                optax.clip_by_global_norm(10.0),
+                optax.add_decayed_weights(weight_decay, mask=mask),
+                inner_opt,
+                optax.scale_by_schedule(
+                    lambda s: -sch.lr(s.astype(jnp.float32) * float(accumulate))
+                ),
+            )
         )
-        if accumulate > 1:
-            tx = optax.MultiSteps(tx, every_k_schedule=accumulate)
     else:
         raise NotImplementedError(f"Optimizer {name} not implemented")
     if freeze:

@@ -104,7 +104,9 @@ def make_eval_step(module, mesh=None):
         return jax.jit(eval_step)
     repl = replicated(mesh)
     data = batch_sharding(mesh)
-    return jax.jit(eval_step, in_shardings=(repl, data), out_shardings=(data,))
+    # out_shardings=data (a bare sharding) broadcasts over the nl-tuple of
+    # feature maps; a 1-tuple would be an invalid pytree prefix.
+    return jax.jit(eval_step, in_shardings=(repl, data), out_shardings=data)
 
 
 def init_train_state(model, tx, key=None, loss_cfg=None):
