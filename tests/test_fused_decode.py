@@ -86,3 +86,72 @@ def test_fused_topk_empty():
     out, n = nms_from_candidates(boxes, scores, cls_ids)
     assert int(np.asarray(n).sum()) == 0
     assert np.asarray(out).shape == (2, 300, 6)
+
+
+def test_nhwc_raw_head_matches_transposed():
+    """Detect(raw=True) + decode_topk_nhwc == transposed head + decode_topk_candidates."""
+    from yolov3_tpu.models.detect_head import decode_topk_nhwc
+    from yolov3_tpu.models.detection import DetectionModel
+
+    model = DetectionModel.from_config("yolov3-tiny", imgsz=64)
+    x = jnp.asarray(
+        np.random.default_rng(0).integers(0, 255, (2, 64, 64, 3), np.uint8)
+    ).astype(jnp.float32) / 255.0
+
+    feats = model.module.apply(model.variables, x, train=False)
+    raw = model.serving_module().apply(model.variables, x, train=False)
+
+    anchors, strides = model.anchors_px, model.spec.strides
+    # plant nothing: random-init outputs exercise the full index math at a low threshold
+    b1, s1, c1 = decode_topk_candidates(feats, anchors, strides, (64, 32), conf_thres=0.001)
+    b2, s2, c2 = decode_topk_nhwc(raw, anchors, strides, (64, 32), conf_thres=0.001)
+
+    # same candidate SET (top-k order may differ on distinct scales' ties):
+    # compare sorted by score
+    for bi in range(2):
+        v1 = np.asarray(s1[bi]); v2 = np.asarray(s2[bi])
+        k1 = v1 > 0; k2 = v2 > 0
+        assert k1.sum() == k2.sum()
+        o1 = np.argsort(-v1[k1]); o2 = np.argsort(-v2[k2])
+        np.testing.assert_allclose(v1[k1][o1], v2[k2][o2], rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(b1[bi])[k1][o1], np.asarray(b2[bi])[k2][o2], rtol=1e-4, atol=1e-3
+        )
+        np.testing.assert_array_equal(np.asarray(c1[bi])[k1][o1], np.asarray(c2[bi])[k2][o2])
+
+
+def test_bench_pipeline_matches_reference_path():
+    """The exact bench.py fast path (raw head + nhwc decode + candidate NMS)
+    must produce the same detections as the validated full pipeline."""
+    from yolov3_tpu.models.detect_head import decode_topk_nhwc
+    from yolov3_tpu.models.detection import DetectionModel
+
+    model = DetectionModel.from_config("yolov3-tiny", imgsz=64)
+    # bias the head so some detections clear conf 0.25
+    import jax as _jax
+
+    def bump(path, v):
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        if "bias" in name and ("m0" in name or "m1" in name):
+            return v + 2.0
+        return v
+
+    variables = {
+        "params": _jax.tree_util.tree_map_with_path(bump, model.variables["params"]),
+        "batch_stats": model.variables["batch_stats"],
+    }
+    model = model.replace_variables(variables)
+    x = jnp.asarray(np.random.default_rng(1).integers(0, 255, (2, 64, 64, 3), np.uint8))
+    xf = x.astype(jnp.float32) / 255.0
+
+    pred, _ = model.predict(xf)
+    ref_out, ref_n = batched_nms(pred, conf_thres=0.25, iou_thres=0.45, max_det=300, max_nms=4096)
+
+    raw = model.serving_module().apply(model.variables, xf, train=False)
+    boxes, scores, cls_ids = decode_topk_nhwc(raw, model.anchors_px, model.spec.strides, (256, 128), 0.25)
+    out, n = nms_from_candidates(boxes, scores, cls_ids, 0.45, 300)
+
+    np.testing.assert_array_equal(np.asarray(n), np.asarray(ref_n))
+    for b in range(2):
+        nb = int(n[b])
+        np.testing.assert_allclose(np.asarray(out[b, :nb]), np.asarray(ref_out[b, :nb]), rtol=1e-4, atol=1e-3)

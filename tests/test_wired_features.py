@@ -1,0 +1,125 @@
+"""Round-2 feature wiring: every formerly-dead flag must observably change behavior.
+
+Covers (VERDICT r1 #4-7): --quad collate, multi-worker loader, RAM/disk image
+cache, TTA (--augment), host batch sharding, cutout.
+"""
+
+from pathlib import Path
+
+import cv2
+import numpy as np
+import pytest
+
+from yolov3_tpu.data.datasets import DataLoader, DetectionDataset
+
+
+@pytest.fixture(scope="module")
+def ds_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("wiredds")
+    (root / "images" / "train").mkdir(parents=True)
+    (root / "labels" / "train").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(8):
+        im = rng.integers(0, 255, (64, 80, 3), np.uint8)  # non-square
+        cv2.imwrite(str(root / "images" / "train" / f"{i}.jpg"), im)
+        (root / "labels" / "train" / f"{i}.txt").write_text("0 0.5 0.5 0.4 0.4\n1 0.3 0.3 0.2 0.2")
+    return root / "images" / "train"
+
+
+def test_quad_collate_reachable(ds_root):
+    """--quad: batches come out (B/4, 2H, 2W, 3) with merged rescaled labels
+    (reference train.py --quad -> collate_fn4, dataloaders.py:832-858)."""
+    ds = DetectionDataset(str(ds_root), imgsz=64, augment=False, batch_size=8, num_cls=2)
+    loader = DataLoader(ds, batch_size=8, quad=True, max_labels=32)
+    imgs, targets, mask, _ = next(iter(loader))
+    assert imgs.shape == (2, 128, 128, 3)
+    assert mask[0].sum() == 8  # 4 images x 2 labels merged
+    got = targets[0][mask[0]]
+    assert (got[:, 3:5] <= 0.5).all()  # wh halved into the 2x canvas
+
+
+def test_multiworker_loader_matches_serial(ds_root):
+    ds = DetectionDataset(str(ds_root), imgsz=64, augment=False, batch_size=4, num_cls=2)
+    b1 = [b for b in DataLoader(ds, batch_size=4, workers=1)]
+    b4 = [b for b in DataLoader(ds, batch_size=4, workers=4)]
+    assert len(b1) == len(b4)
+    for (i1, t1, m1, _), (i4, t4, m4, _) in zip(b1, b4):
+        np.testing.assert_array_equal(i1, i4)
+        np.testing.assert_array_equal(t1, t4)
+        np.testing.assert_array_equal(m1, m4)
+
+
+@pytest.mark.parametrize("mode", ["ram", "disk"])
+def test_image_cache_identical(ds_root, mode):
+    """RAM/disk caches must return byte-identical pre-resized images
+    (reference dataloaders.py:572-608)."""
+    ds0 = DetectionDataset(str(ds_root), imgsz=64, augment=False, batch_size=4, num_cls=2)
+    dsc = DetectionDataset(str(ds_root), imgsz=64, augment=False, batch_size=4, num_cls=2,
+                           cache_images=mode)
+    for i in range(4):
+        a, hw0a, hwa = ds0.load_image(i)
+        b, hw0b, hwb = dsc.load_image(i)
+        np.testing.assert_array_equal(a, b)
+        assert tuple(hw0a) == tuple(hw0b) and tuple(hwa) == tuple(hwb)
+    if mode == "disk":  # clean up .npy litter next to images
+        for f in Path(ds_root).glob("*.npy"):
+            f.unlink()
+
+
+def test_host_shard_round_robin_covers_all(ds_root):
+    """Round-robin batch sharding: 2 hosts see disjoint batches covering everything."""
+    ds = DetectionDataset(str(ds_root), imgsz=64, augment=False, batch_size=2, num_cls=2)
+    seen = []
+    for host in range(2):
+        loader = DataLoader(ds, batch_size=2, shuffle=False)
+        loader._host_shard = (host, 2)
+        for batch_idx in loader._batches():
+            seen.extend(batch_idx.tolist())
+    assert sorted(seen) == list(range(8))
+
+
+def test_host_shard_applies_to_index_override(ds_root):
+    """Image-weights overrides must still respect the host shard (r1 weak #9)."""
+    ds = DetectionDataset(str(ds_root), imgsz=64, augment=False, batch_size=2, num_cls=2)
+    loader = DataLoader(ds, batch_size=2, shuffle=True)
+    loader._host_shard = (0, 2)
+    loader.set_indices(np.arange(8)[::-1])
+    got = [b.tolist() for b in loader._batches()]
+    assert got == [[7, 6], [3, 2]]  # host 0 takes batches 0 and 2 of the override
+
+
+def test_cutout_flag_changes_image(ds_root):
+    import random
+
+    ds_on = DetectionDataset(str(ds_root), imgsz=64, augment=True, batch_size=4, num_cls=2,
+                             hyp={"cutout": 1.0, "mosaic": 0.0, "fliplr": 0.0, "flipud": 0.0,
+                                  "hsv_h": 0, "hsv_s": 0, "hsv_v": 0, "translate": 0, "scale": 0})
+    ds_off = DetectionDataset(str(ds_root), imgsz=64, augment=True, batch_size=4, num_cls=2,
+                              hyp={"cutout": 0.0, "mosaic": 0.0, "fliplr": 0.0, "flipud": 0.0,
+                                   "hsv_h": 0, "hsv_s": 0, "hsv_v": 0, "translate": 0, "scale": 0})
+    random.seed(0)
+    img_on, _, _ = ds_on[0]
+    random.seed(0)
+    img_off, _, _ = ds_off[0]
+    assert not np.array_equal(img_on, img_off)
+
+
+def test_tta_predict_augmented():
+    """--augment produces the TTA-concatenated prediction tensor
+    (reference yolo.py:239-280: 3 scales, clipped tails -> more rows than plain)."""
+    import jax.numpy as jnp
+
+    from yolov3_tpu.models.detection import DetectionModel
+
+    model = DetectionModel.from_config("yolov3-tiny", imgsz=64)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    plain, _ = model.predict(x)
+    tta = model.predict_augmented(x)
+    assert tta.shape[0] == 1 and tta.shape[2] == plain.shape[2]
+    assert tta.shape[1] != plain.shape[1]  # scales concatenated + tails clipped
+    # TTA through the validator's cached forward (the --augment CLI path)
+    from yolov3_tpu.eval.validator import _cached_forward
+
+    fwd = _cached_forward(model, 0.25, 0.45, 100, 1024, augment=True)
+    dets, n = fwd(model.variables, np.zeros((1, 64, 64, 3), np.uint8))
+    assert np.asarray(dets).shape == (1, 100, 6)

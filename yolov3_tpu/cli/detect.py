@@ -89,8 +89,15 @@ def run(
     @jax.jit
     def infer(variables, imgs_u8):
         x = imgs_u8.astype(jnp.float32) / 255.0
-        feats = module.apply(variables, x, train=False)
-        pred = decode_predictions(feats, anchors, strides)
+        if augment:  # TTA (reference detect.py:196 -> yolo.py:239-280)
+            from yolov3_tpu.models.detection import predict_augmented_pure
+
+            pred = predict_augmented_pure(
+                module, variables, x, anchors, strides, model.spec.nl, stride
+            )
+        else:
+            feats = module.apply(variables, x, train=False)
+            pred = decode_predictions(feats, anchors, strides)
         return batched_nms(
             pred,
             conf_thres=conf_thres,
@@ -100,6 +107,21 @@ def run(
             max_det=max_det,
             max_nms=8192,
         )
+
+    def visualize_features(imgs_u8, save_to):
+        """--visualize: save per-layer feature-map grids (reference plots.py:30-57)."""
+        from yolov3_tpu.utils.plots import feature_visualization
+
+        x = jnp.asarray(imgs_u8).astype(jnp.float32) / 255.0
+        _, inter = module.apply(
+            model.variables, x, train=False, capture_intermediates=lambda mdl, name: name == "__call__"
+        )
+        save_to.mkdir(parents=True, exist_ok=True)
+        for lname, v in inter["intermediates"].items():
+            out = v["__call__"][0]
+            fmap = out[0] if isinstance(out, (tuple, list)) else out
+            if hasattr(fmap, "ndim") and fmap.ndim == 4:  # NHWC feature map
+                feature_visualization(np.asarray(fmap), lname, lname, save_dir=save_to)
 
     # source
     if webcam:
@@ -122,6 +144,8 @@ def run(
             dets, n_valid = infer(model.variables, jax.device_put(im))
             dets = np.asarray(dets)
             n_valid = np.asarray(n_valid)
+        if visualize:
+            visualize_features(im, save_dir / Path(path[0] if webcam else path).stem)
         with dt[2]:
             pass
 

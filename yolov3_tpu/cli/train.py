@@ -30,7 +30,11 @@ def parse_opt(known=False):
     parser.add_argument("--nosave", action="store_true")
     parser.add_argument("--noautoanchor", action="store_true")
     parser.add_argument("--single-cls", action="store_true")
-    parser.add_argument("--optimizer", type=str, choices=["sgd", "adam", "adamw"], default="sgd")
+    parser.add_argument("--optimizer", type=str, choices=["sgd", "adam", "adamw", "rmsprop"], default="sgd")
+    parser.add_argument("--quad", action="store_true", help="quad collate: 4 images stitched per sample")
+    parser.add_argument("--workers", type=int, default=2, help="dataloader decode threads")
+    parser.add_argument("--cache", type=str, nargs="?", const="ram", default=None,
+                        choices=["ram", "disk"], help="cache pre-resized images")
     parser.add_argument("--cos-lr", action="store_true")
     parser.add_argument("--resume", nargs="?", const=True, default=False)
     parser.add_argument("--evolve", type=int, nargs="?", const=300, default=None,
@@ -118,6 +122,9 @@ def main(opt=None):
         multi_scale=opt.multi_scale,
         image_weights=opt.image_weights,
         freeze=tuple(opt.freeze),
+        quad=opt.quad,
+        workers=opt.workers,
+        cache_images=opt.cache,
     )
 
 

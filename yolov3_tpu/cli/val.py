@@ -56,7 +56,8 @@ def run(
         results, maps, speeds = validator.run(
             data, model=model, batch_size=batch_size, imgsz=imgsz, conf_thres=conf_thres,
             iou_thres=iou_thres, max_det=max_det, task="val" if task == "speed" else task,
-            single_cls=single_cls, verbose=verbose, save_json=save_json, save_dir=save_dir,
+            single_cls=single_cls, augment=augment, verbose=verbose, save_json=save_json,
+            save_dir=save_dir,
         )
         return results, maps, speeds
 

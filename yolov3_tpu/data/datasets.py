@@ -138,6 +138,7 @@ class DetectionDataset:
         max_labels=300,
         cache_dir=None,
         single_cls=False,
+        cache_images=None,
     ):
         self.imgsz = imgsz
         self.augment = augment
@@ -148,6 +149,12 @@ class DetectionDataset:
         self.max_labels = max_labels
         self.mosaic = augment and not rect and self.hyp.get("mosaic", 0) > 0
         self.mosaic_border = [-imgsz // 2, -imgsz // 2]
+        if augment:  # reference applies albumentations every train item (dataloaders.py:700)
+            from yolov3_tpu.data.augment import Albumentations
+
+            self.albumentations = Albumentations(size=imgsz)
+        else:
+            self.albumentations = None
 
         self.im_files = list_images(path)
         self.label_files = img2label_paths(self.im_files)
@@ -184,6 +191,60 @@ class DetectionDataset:
                 np.ceil(np.array(shapes_out) * imgsz / stride + pad).astype(int) * stride
             )
             self.batch_index = bi
+
+        # RAM/disk image caching (reference dataloaders.py:572-608): caches the
+        # PRE-RESIZED image (long side = imgsz), skipping decode+resize per epoch
+        self.ims = [None] * len(self.im_files)
+        self.im_meta = [None] * len(self.im_files)  # ((h0, w0), (h, w)) per cached image
+        self.cache_mode = cache_images if cache_images in ("ram", "disk") else None
+        if self.cache_mode:
+            self._cache_images(self.cache_mode)
+
+    def _cache_images(self, mode):
+        """Pre-decode every image into RAM (with a fit check) or .npy files."""
+        n = len(self.im_files)
+        if mode == "ram":
+            # estimate required bytes from a sample (reference check_cache_ram)
+            est = 0
+            for i in np.random.default_rng(0).choice(n, min(8, n), replace=False):
+                im = cv2.imread(self.im_files[int(i)])
+                r = self.imgsz / max(im.shape[:2])
+                est += im.nbytes * min(r, 1.0) ** 2
+            need = est * n / min(8, n) * 1.1
+            try:
+                avail = os.sysconf("SC_AVPHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+            except (ValueError, OSError):
+                avail = float("inf")
+            if need > avail * 0.8:
+                LOGGER.warning(
+                    f"image cache needs ~{need / 1e9:.1f}GB RAM but only {avail / 1e9:.1f}GB available — not caching"
+                )
+                self.cache_mode = None
+                return
+        gb = 0
+        for i in range(n):
+            npy = Path(self.im_files[i]).with_suffix(".npy")
+            if mode == "disk":
+                if not npy.exists():
+                    im, _, _ = self._read_resize(i)
+                    np.save(str(npy), im)
+                gb += npy.stat().st_size
+            else:
+                self.ims[i], hw0, hw = self._read_resize(i)
+                self.im_meta[i] = (hw0, hw)
+                gb += self.ims[i].nbytes
+        LOGGER.info(f"cached {n} images to {mode} ({gb / 1e9:.2f}GB)")
+
+    def _read_resize(self, i):
+        """Decode + pre-resize one image so the long side is imgsz."""
+        im = cv2.imread(self.im_files[i])  # BGR
+        assert im is not None, f"Image not found {self.im_files[i]}"
+        h0, w0 = im.shape[:2]
+        r = self.imgsz / max(h0, w0)
+        if r != 1:
+            interp = cv2.INTER_LINEAR if (self.augment or r > 1) else cv2.INTER_AREA
+            im = cv2.resize(im, (math.ceil(w0 * r), math.ceil(h0 * r)), interpolation=interp)
+        return im, (h0, w0), im.shape[:2]
 
     def _load_or_build_cache(self, cache_path, num_cls):
         key = _paths_hash(self.im_files + self.label_files)
@@ -223,15 +284,18 @@ class DetectionDataset:
         return len(self.im_files)
 
     def load_image(self, i):
-        """Load + pre-resize so the long side is imgsz (reference dataloaders.py:736-754)."""
-        im = cv2.imread(self.im_files[i])  # BGR
-        assert im is not None, f"Image not found {self.im_files[i]}"
-        h0, w0 = im.shape[:2]
-        r = self.imgsz / max(h0, w0)
-        if r != 1:
-            interp = cv2.INTER_LINEAR if (self.augment or r > 1) else cv2.INTER_AREA
-            im = cv2.resize(im, (math.ceil(w0 * r), math.ceil(h0 * r)), interpolation=interp)
-        return im, (h0, w0), im.shape[:2]
+        """Load + pre-resize so the long side is imgsz (reference dataloaders.py:736-754),
+        honoring the RAM/disk image cache (dataloaders.py:572-608)."""
+        if self.ims[i] is not None:  # RAM cache
+            hw0, hw = self.im_meta[i]
+            return self.ims[i], hw0, hw
+        if self.cache_mode == "disk":
+            npy = Path(self.im_files[i]).with_suffix(".npy")
+            if npy.exists():
+                im = np.load(str(npy))
+                h0w0 = tuple(int(v) for v in self.shapes[i][::-1])  # shapes is (w, h)
+                return im, h0w0, im.shape[:2]
+        return self._read_resize(i)
 
     def __getitem__(self, index):
         """Returns (img HWC BGR uint8, labels (n,5) cls+xywhn, shapes_meta)."""
@@ -268,6 +332,9 @@ class DetectionDataset:
             labels[:, 1:5] = xyxy2xywhn(labels[:, 1:5], w=img.shape[1], h=img.shape[0], clip=True, eps=1e-3)
 
         if self.augment:
+            if self.albumentations is not None:  # reference dataloaders.py:700
+                img, labels = self.albumentations(img, labels)
+                nl = len(labels)
             augment_hsv(img, hyp.get("hsv_h", 0.015), hyp.get("hsv_s", 0.7), hyp.get("hsv_v", 0.4))
             if random.random() < hyp.get("flipud", 0.0):
                 img = np.flipud(img)
@@ -277,6 +344,12 @@ class DetectionDataset:
                 img = np.fliplr(img)
                 if nl:
                     labels[:, 1] = 1 - labels[:, 1]
+            if hyp.get("cutout", 0.0) > 0:  # reference ships cutout default-off (augmentations.py:243)
+                from yolov3_tpu.data.augment import cutout
+
+                img = np.ascontiguousarray(img)
+                labels = cutout(img, labels, p=hyp["cutout"])
+                nl = len(labels)
 
         img = np.ascontiguousarray(img[:, :, ::-1])  # BGR -> RGB, still HWC uint8
         return img, labels.astype(np.float32), shapes_meta
@@ -338,14 +411,19 @@ class DataLoader:
     torch worker processes — a non-problem here since decoding runs in plain
     threads that release the GIL inside cv2)."""
 
-    def __init__(self, dataset, batch_size=16, shuffle=False, max_labels=300, seed=0, drop_last=False, prefetch=2):
+    def __init__(self, dataset, batch_size=16, shuffle=False, max_labels=300, seed=0, drop_last=False,
+                 prefetch=2, quad=False, workers=1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.max_labels = max_labels
         self.rng = np.random.default_rng(seed)
-        self.drop_last = drop_last
+        self.drop_last = drop_last or quad  # quad needs groups of 4
         self.prefetch = prefetch
+        self.quad = quad  # reference --quad -> collate_fn4 (train.py, dataloaders.py:126)
+        self.workers = max(int(workers), 1)
+        if quad:
+            assert batch_size % 4 == 0, "--quad requires batch size divisible by 4"
 
     def __len__(self):
         n = len(self.dataset)
@@ -357,28 +435,29 @@ class DataLoader:
         self._indices_override = np.asarray(indices)
 
     def shard_per_host(self):
-        """Restrict sampling to this host's contiguous shard — the
-        DistributedSampler analog for multi-host SPMD (each host feeds its
-        own devices; reference dataloaders.py:115)."""
-        from yolov3_tpu.parallel.mesh import process_shard
+        """Restrict sampling to this host's shard — the DistributedSampler
+        analog for multi-host SPMD (reference dataloaders.py:115). Sharding is
+        at BATCH granularity, round-robin over hosts: a contiguous sample
+        shard of an aspect-ratio-sorted rect dataset would give each host a
+        biased shape distribution; round-robin batches keep rect batch-shape
+        groups intact AND balanced, and compose with index overrides."""
+        import jax
 
-        sl = process_shard(len(self.dataset))
-        self._host_slice = sl
+        self._host_shard = (jax.process_index(), jax.process_count())
         return self
 
     def _batches(self):
         idx = getattr(self, "_indices_override", None)
         if idx is None:
             idx = np.arange(len(self.dataset))
-            sl = getattr(self, "_host_slice", None)
-            if sl is not None:
-                idx = idx[sl]
             if self.shuffle and not getattr(self.dataset, "rect", False):
                 self.rng.shuffle(idx)
         else:
+            idx = np.asarray(idx)
             self._indices_override = None
         n_batches = len(idx) // self.batch_size if self.drop_last else math.ceil(len(idx) / self.batch_size)
-        for b in range(n_batches):
+        i0, nh = getattr(self, "_host_shard", (0, 1))
+        for b in range(i0, n_batches, nh):
             yield idx[b * self.batch_size : (b + 1) * self.batch_size]
 
     def __iter__(self):
@@ -386,16 +465,33 @@ class DataLoader:
 
         q = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        collate = collate_quad if self.quad else collate_fixed
 
-        def worker():
+        def produce():
             try:
-                for batch_idx in self._batches():
-                    samples = [self.dataset[i] for i in batch_idx]
-                    q.put(collate_fixed(samples, self.max_labels))
+                if self.workers > 1:
+                    # decode/augment samples on a thread pool (cv2 releases the
+                    # GIL) — the reference's num_workers analog (dataloaders.py:114)
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    with ThreadPoolExecutor(self.workers) as pool:
+                        pending = []
+                        for batch_idx in self._batches():
+                            pending.append([pool.submit(self.dataset.__getitem__, i) for i in batch_idx])
+                            # keep `prefetch` batches in flight beyond the queue
+                            while len(pending) > self.prefetch:
+                                futs = pending.pop(0)
+                                q.put(collate([f.result() for f in futs], self.max_labels))
+                        for futs in pending:
+                            q.put(collate([f.result() for f in futs], self.max_labels))
+                else:
+                    for batch_idx in self._batches():
+                        samples = [self.dataset[i] for i in batch_idx]
+                        q.put(collate(samples, self.max_labels))
             finally:
                 q.put(stop)
 
-        t = threading.Thread(target=worker, daemon=True)
+        t = threading.Thread(target=produce, daemon=True)
         t.start()
         while True:
             item = q.get()

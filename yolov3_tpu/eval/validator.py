@@ -84,7 +84,7 @@ def run(
     with_loss = bool(compute_loss_flag and loss_cfg is not None)
     forward = _cached_forward(
         model, conf_thres, 0.45 if task == "speed" else iou_thres, max_det, max_nms,
-        loss_cfg=loss_cfg if with_loss else None,
+        loss_cfg=loss_cfg if with_loss else None, augment=augment,
     )
 
     stats = []
@@ -199,9 +199,9 @@ def run(
 _FORWARD_CACHE = {}
 
 
-def _cached_forward(model, conf_thres, iou_thres, max_det, max_nms, loss_cfg=None):
-    """Jitted forward+decode+NMS (+ optional val loss), cached by (module, nms
-    params, loss_cfg).
+def _cached_forward(model, conf_thres, iou_thres, max_det, max_nms, loss_cfg=None, augment=False):
+    """Jitted forward+decode+NMS (+ optional val loss / TTA), cached by
+    (module, nms params, loss_cfg, augment).
 
     The linen module is a frozen dataclass (spec/dtype/fused), so equal
     architectures share one jitted function — without this, per-epoch
@@ -209,18 +209,26 @@ def _cached_forward(model, conf_thres, iou_thres, max_det, max_nms, loss_cfg=Non
     (minutes per compile through a remote-compile TPU runtime). The in-train
     val loss (reference val.py:367-368) runs INSIDE the same program: tracing
     compute_loss eagerly per batch on host numpy was both slow and wasteful."""
-    key = (model.module, float(conf_thres), float(iou_thres), int(max_det), int(max_nms), loss_cfg)
+    key = (model.module, float(conf_thres), float(iou_thres), int(max_det), int(max_nms), loss_cfg, augment)
     fn = _FORWARD_CACHE.get(key)
     if fn is None:
         module = model.module
         anchors = model.anchors_px
         strides = model.spec.strides
+        nl, gs = model.spec.nl, int(model.stride)
+
+        def _pred(variables, x):
+            if augment:  # TTA val (reference val.py forward w/ augment -> yolo.py:239-280)
+                from yolov3_tpu.models.detection import predict_augmented_pure
+
+                return predict_augmented_pure(module, variables, x, anchors, strides, nl, gs)
+            feats = module.apply(variables, x, train=False)
+            return decode_predictions(feats, anchors, strides)
 
         @jax.jit
         def forward(variables, imgs_u8):
             x = imgs_u8.astype(jax.numpy.float32) / 255.0
-            feats = module.apply(variables, x, train=False)
-            pred = decode_predictions(feats, anchors, strides)
+            pred = _pred(variables, x)
             dets, n_valid = batched_nms(
                 pred, conf_thres=conf_thres, iou_thres=iou_thres,
                 multi_label=True, max_det=max_det, max_nms=max_nms,

@@ -46,6 +46,7 @@ class Detect(nn.Module):
     na: int
     strides: tuple
     dtype: Any = jnp.float32
+    raw: bool = False
 
     @nn.compact
     def __call__(self, xs, train: bool = False):
@@ -60,6 +61,12 @@ class Detect(nn.Module):
                 dtype=self.dtype,
                 name=f"m{i}",
             )(x)
+            if self.raw:
+                # serving fast path: NHWC (bs, ny, nx, na*no) in the compute
+                # dtype — skips materializing the f32 transpose (548 MB/batch
+                # at bs64/640px); decode_topk_nhwc consumes this layout.
+                outs.append(x)
+                continue
             bs, ny, nx, _ = x.shape
             x = x.reshape(bs, ny, nx, self.na, no).transpose(0, 3, 1, 2, 4)  # (bs,na,ny,nx,no)
             outs.append(x.astype(jnp.float32))
@@ -132,6 +139,63 @@ def decode_topk_candidates(feats, anchors, strides, k_per_scale=(256, 128, 64), 
         boxes_all.append(boxes)
         scores_all.append(top_s)
         cls_all.append(top_cls)
+
+    return (
+        jnp.concatenate(boxes_all, axis=1),
+        jnp.concatenate(scores_all, axis=1),
+        jnp.concatenate(cls_all, axis=1),
+    )
+
+
+def decode_topk_nhwc(feats_raw, anchors, strides, k_per_scale=(256, 128, 64), conf_thres=0.25):
+    """`decode_topk_candidates` for RAW NHWC head outputs ((bs, ny, nx, na*no),
+    compute dtype — see Detect(raw=True)).
+
+    The flat candidate index runs in (ny, nx, na) order here (the natural
+    NHWC memory order), so no transpose of the head output is ever
+    materialized; scores are computed in f32 from bf16 loads. Same candidate
+    semantics as the reference (conf = obj * cls_max, both > conf_thres,
+    utils/general.py:630-714).
+    """
+    anchors = jnp.asarray(anchors, dtype=jnp.float32).reshape(len(feats_raw), -1, 2)
+    boxes_all, scores_all, cls_all = [], [], []
+    for i, f in enumerate(feats_raw):
+        bs, ny, nx, ch = f.shape
+        na = anchors.shape[1]
+        no = ch // na
+        k = min(int(k_per_scale[min(i, len(k_per_scale) - 1)]), na * ny * nx)
+        flat = f.reshape(bs, ny * nx * na, no)  # free reshape; stays in compute dtype
+
+        # one fused pass over the head output: per-element convert-to-f32 fuses
+        # into sigmoid/max — no full f32 copy is materialized
+        obj_sig = nn.sigmoid(flat[..., 4].astype(jnp.float32))
+        cls_logit_max = jnp.max(flat[..., 5:], axis=-1).astype(jnp.float32)
+        cls_arg = jnp.argmax(flat[..., 5:], axis=-1)
+        score = obj_sig * nn.sigmoid(cls_logit_max)
+        valid = (score > conf_thres) & (obj_sig > conf_thres)
+        masked = jnp.where(valid, score, -1.0)
+
+        top_s, top_i = jax.lax.top_k(masked, k)  # (bs, k)
+
+        # flat index -> (y, x, anchor) in NHWC order
+        a_idx = top_i % na
+        x_idx = (top_i // na) % nx
+        y_idx = top_i // (na * nx)
+
+        txywh = jnp.take_along_axis(flat[..., :4], top_i[..., None], axis=1)
+        sig = nn.sigmoid(txywh.astype(jnp.float32))
+        gx = x_idx.astype(jnp.float32) - 0.5
+        gy = y_idx.astype(jnp.float32) - 0.5
+        cx = (sig[..., 0] * 2 + gx) * strides[i]
+        cy = (sig[..., 1] * 2 + gy) * strides[i]
+        awh = anchors[i][a_idx]
+        w = (sig[..., 2] * 2) ** 2 * awh[..., 0]
+        h = (sig[..., 3] * 2) ** 2 * awh[..., 1]
+        boxes = jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=-1)
+
+        boxes_all.append(boxes)
+        scores_all.append(top_s)
+        cls_all.append(jnp.take_along_axis(cls_arg, top_i, axis=1).astype(jnp.float32))
 
     return (
         jnp.concatenate(boxes_all, axis=1),

@@ -45,6 +45,7 @@ class YOLOGraph(nn.Module):
     spec: ModelSpec
     dtype: Any = jnp.float32
     fused: bool = False
+    head_raw: bool = False  # Detect returns raw NHWC conv outputs (serving fast path)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -61,7 +62,8 @@ class YOLOGraph(nn.Module):
             if ls.op == "Detect":
                 feats = [out if j == prev_i else y[j] for j in ls.f]
                 return Detect(
-                    nc=spec.nc, na=spec.na, strides=spec.strides, dtype=self.dtype, name=f"l{ls.i}"
+                    nc=spec.nc, na=spec.na, strides=spec.strides, dtype=self.dtype,
+                    raw=self.head_raw, name=f"l{ls.i}"
                 )(feats, train)
 
             if ls.op in MULTI_INPUT_OPS:
@@ -129,17 +131,9 @@ class DetectionModel:
     def predict_augmented(self, x):
         """TTA inference: scales [1, .83, .67] with lr-flip on the middle scale,
         descaled and tail-clipped (reference yolo.py:239-280)."""
-        h, w = x.shape[1:3]
-        gs = int(self.stride)
-        outs = []
-        for si, fi in zip((1.0, 0.83, 0.67), (None, 3, None)):
-            xi = jnp.flip(x, axis=2) if fi == 3 else (jnp.flip(x, axis=1) if fi == 2 else x)
-            xi = _scale_img(xi, si, gs)
-            yi = self.predict(xi)[0]
-            yi = _descale_pred(yi, fi, si, (h, w))
-            outs.append(yi)
-        outs = _clip_augmented(outs, nl=self.spec.nl)
-        return jnp.concatenate(outs, axis=1)
+        return predict_augmented_pure(
+            self.module, self.variables, x, self.anchors_px, self.spec.strides, self.spec.nl, int(self.stride)
+        )
 
     # -- metadata ----------------------------------------------------------
     @property
@@ -164,6 +158,11 @@ class DetectionModel:
 
     def replace_variables(self, variables):
         return DetectionModel(self.spec, variables, self.dtype, self.names, self.fused)
+
+    def serving_module(self):
+        """The same graph with a raw-NHWC Detect head for the fused serving
+        path (decode_topk_nhwc). Shares this handle's variables unchanged."""
+        return YOLOGraph(spec=self.spec, dtype=self.dtype, fused=self.fused, head_raw=True)
 
     def fuse(self):
         """Fold Conv+BN for inference (reference fuse(), yolo.py:163-172).
@@ -216,6 +215,25 @@ def optimize_for_inference(model: DetectionModel, bf16=None) -> DetectionModel:
             model.spec, cast_variables_for_inference(model.variables), jnp.bfloat16, model.names, model.fused
         )
     return model
+
+
+def predict_augmented_pure(module, variables, x, anchors_px, strides, nl, gs):
+    """Functional TTA forward (jittable: variables passed, not closed over).
+
+    Scales [1, .83, .67], flips [None, lr, None], descale + tail clipping —
+    reference yolo.py:239-280. Returns the concatenated decoded predictions.
+    """
+    h, w = x.shape[1:3]
+    outs = []
+    for si, fi in zip((1.0, 0.83, 0.67), (None, 3, None)):
+        xi = jnp.flip(x, axis=2) if fi == 3 else (jnp.flip(x, axis=1) if fi == 2 else x)
+        xi = _scale_img(xi, si, gs)
+        feats = module.apply(variables, xi, train=False)
+        yi = decode_predictions(feats, anchors_px, strides)
+        yi = _descale_pred(yi, fi, si, (h, w))
+        outs.append(yi)
+    outs = _clip_augmented(outs, nl=nl)
+    return jnp.concatenate(outs, axis=1)
 
 
 # -- TTA helpers (reference utils/torch_utils.scale_img + yolo.py:254-280) ----

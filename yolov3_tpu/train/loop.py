@@ -66,6 +66,9 @@ def train(
     image_weights=False,
     multi_scale=False,
     freeze=(),
+    quad=False,
+    workers=2,
+    cache_images=None,
 ):
     """Train a detection model. Returns (best_fitness, results, save_dir)."""
     callbacks = callbacks or Callbacks()
@@ -113,9 +116,12 @@ def train(
     train_ds = DetectionDataset(
         data_dict["train"], imgsz=imgsz, augment=True, hyp=hyp, rect=False, stride=stride,
         batch_size=batch_size, num_cls=nc, max_labels=max_labels, single_cls=single_cls,
+        cache_images=cache_images,
     )
     train_loader = DataLoader(train_ds, batch_size=batch_size, shuffle=True, max_labels=max_labels,
-                              seed=seed, drop_last=True)
+                              seed=seed, drop_last=True, quad=quad, workers=workers)
+    if jax.process_count() > 1:
+        train_loader.shard_per_host()
     steps_per_epoch = max(len(train_loader), 1)
 
     val_loader = None
@@ -149,7 +155,7 @@ def train(
         freeze=freeze_layers,
     )
     mesh = create_mesh()
-    step_fn = make_train_step(model.module, loss_cfg, tx, mesh=mesh)
+    step_fn = make_train_step(model.module, loss_cfg, tx, mesh=mesh, loss_scale=4.0 if quad else 1.0)
     state = init_train_state(model, tx, loss_cfg=loss_cfg)
     if resume:
         last = Path(save_dir) / "weights" / "last"
@@ -199,14 +205,15 @@ def train(
         for imgs, targets, mask, _ in train_loader:
             callbacks.run("on_train_batch_start")
             if multi_scale and nb % 10 == 0:
-                # bucketed multi-scale (reference train.py:394-399): random size
-                # in [0.5, 1.5]*imgsz snapped to the stride grid; host-side
-                # resize keeps device shapes within a bounded bucket set
+                # bucketed multi-scale (reference train.py:394-399 draws any
+                # stride multiple in [0.5, 1.5]*imgsz — ~20 shapes = ~20 XLA
+                # recompiles at minutes each through a remote-compile runtime).
+                # Here: 5 FIXED buckets spanning the same range, so at most 5
+                # compiled programs per run.
                 gs = int(stride)
-                _ms_size = int(np.random.default_rng(seed + int(state["step"])).integers(
-                    imgsz // 2 // gs, imgsz * 3 // 2 // gs + 1
-                )) * gs
-                setattr(train_loader, "_ms_size", _ms_size)
+                buckets = sorted({max(round(imgsz * f / gs), 1) * gs for f in (0.5, 0.75, 1.0, 1.25, 1.5)})
+                rng_ms = np.random.default_rng(seed + int(state["step"]))
+                setattr(train_loader, "_ms_size", int(rng_ms.choice(buckets)))
             ms = getattr(train_loader, "_ms_size", None)
             if multi_scale and ms and ms != imgs.shape[1]:
                 import cv2

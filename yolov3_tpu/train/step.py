@@ -37,11 +37,13 @@ def normalize_images(imgs):
     return imgs.astype(jnp.float32) / 255.0
 
 
-def make_train_step(module, loss_cfg: LossConfig, tx, mesh=None, ema_decay=0.9999, multi_scale_sizes=None):
+def make_train_step(module, loss_cfg: LossConfig, tx, mesh=None, ema_decay=0.9999, loss_scale=1.0):
     """Build the jitted train step.
 
     State pytree: {params, batch_stats, opt, ema:{ema, updates}, step}.
-    Returns step_fn(state, imgs_u8, targets, mask[, scale_idx]) -> (state, metrics).
+    Returns step_fn(state, imgs_u8, targets, mask) -> (state, metrics).
+    `loss_scale`: total-loss multiplier — 4.0 in quad mode (the quad collate
+    quarters the batch dim the loss is scaled by; reference train.py:407-408).
     """
 
     autobalance = loss_cfg.autobalance
@@ -58,7 +60,7 @@ def make_train_step(module, loss_cfg: LossConfig, tx, mesh=None, ema_decay=0.999
             loss, comps, obj_pl = compute_loss(
                 list(feats), targets, mask, loss_cfg, balance=balance, return_per_layer_obj=True
             )
-            return loss, (mut["batch_stats"], comps, obj_pl)
+            return loss * loss_scale, (mut["batch_stats"], comps, obj_pl)
 
         (loss, (new_bstats, comps, obj_pl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state["params"])
         updates, new_opt = tx.update(grads, state["opt"], state["params"])
