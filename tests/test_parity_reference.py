@@ -1,0 +1,293 @@
+"""Cross-framework parity: the reference torch model vs yolov3_tpu, same weights.
+
+This is the zero-egress COCO-parity proxy (VERDICT r1 #3): build the
+reference `Model` (/root/reference/models/yolo.py:190-295) on CPU, convert
+its state_dict through models/convert.py, and assert end-to-end agreement:
+
+  1. decoded predictions (reference yolo.py:104-107 decode) — atol
+  2. NMS outputs (reference utils/general.py:630-750 vs ops/nms.py)
+  3. mAP on a self-labeled synthetic set — identical metric code over each
+     framework's own end-to-end detections, within 0.005
+
+The `ultralytics` pip package the reference depends on is absent in this
+image; tests/ultralytics_shim.py supplies the ~30 outsourced symbols with
+standard public formulas.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+sys.path.insert(0, str(Path(__file__).parent))
+import ultralytics_shim as shim  # noqa: E402  (must precede reference imports)
+
+shim.add_reference_to_path()
+
+import jax.numpy as jnp  # noqa: E402
+
+from yolov3_tpu.models.convert import convert_torch_checkpoint  # noqa: E402
+from yolov3_tpu.models.detection import DetectionModel  # noqa: E402
+from yolov3_tpu.ops.nms import non_max_suppression as our_nms  # noqa: E402
+
+
+HYP = {
+    "box": 0.05, "obj": 1.0, "cls": 0.5, "cls_pw": 1.0, "obj_pw": 1.0,
+    "label_smoothing": 0.0, "fl_gamma": 0.0, "anchor_t": 4.0,
+}
+
+
+def _synth_batch(n=4, size=320, seed=7):
+    """Colored rectangles on gray; returns (imgs_u8 NHWC, targets (m,6) torch)."""
+    rng = np.random.default_rng(seed)
+    imgs, tgts = [], []
+    for b in range(n):
+        im = np.full((size, size, 3), 114, np.uint8)
+        for _ in range(2):
+            cls = int(rng.integers(0, 2))
+            w, h = int(rng.integers(80, 160)), int(rng.integers(80, 160))
+            x1 = int(rng.integers(0, size - w))
+            y1 = int(rng.integers(0, size - h))
+            color = (30, 30, 220) if cls == 0 else (220, 30, 30)
+            im[y1 : y1 + h, x1 : x1 + w] = color
+            tgts.append([b, cls, (x1 + w / 2) / size, (y1 + h / 2) / size, w / size, h / size])
+        imgs.append(im)
+    return np.stack(imgs), torch.tensor(tgts, dtype=torch.float32)
+
+
+@pytest.fixture(scope="module")
+def ref_tiny():
+    """Reference yolov3-tiny briefly overfit on synthetic rectangles (random
+    init yields spatially-flat head inputs — no detections to compare), so
+    detections are genuinely peaked for the NMS/mAP parity tests."""
+    from models.yolo import Model
+    from utils.loss import ComputeLoss
+
+    torch.manual_seed(0)
+    m = Model("/root/reference/models/yolov3-tiny.yaml", ch=3, nc=80)
+    m.hyp = HYP
+    for mod in m.modules():  # default BN momentum 0.03 can't track a 60-step overfit
+        if isinstance(mod, torch.nn.BatchNorm2d):
+            mod.momentum = 0.5
+    loss_fn = ComputeLoss(m)
+    opt = torch.optim.SGD(m.parameters(), lr=0.02, momentum=0.9)
+    imgs, targets = _synth_batch()
+    x = torch.from_numpy(imgs.astype(np.float32).transpose(0, 3, 1, 2) / 255.0)
+    m.train()
+    for _ in range(60):
+        opt.zero_grad()
+        loss, _ = loss_fn(m(x), targets)
+        loss.backward()
+        opt.step()
+    m.eval()
+    return m
+
+
+@pytest.fixture(scope="module")
+def our_tiny(ref_tiny):
+    model = DetectionModel.from_config("yolov3-tiny", imgsz=64)
+    variables, report = convert_torch_checkpoint(ref_tiny.state_dict(), model)
+    assert not report["missed"], report["missed"][:5]
+    return model.replace_variables(variables)
+
+
+def _ref_forward(ref_model, x_nchw):
+    with torch.no_grad():
+        y = ref_model(torch.from_numpy(x_nchw))
+    return y[0].numpy()
+
+
+def _our_forward(our_model, x_nhwc):
+    pred, _ = our_model.predict(jnp.asarray(x_nhwc))
+    return np.asarray(pred)
+
+
+def make_image(seed=0, size=320):
+    """A rectangles-on-gray image from the training distribution."""
+    rng = np.random.default_rng(100 + seed)
+    im = np.full((size, size, 3), 114, np.uint8)
+    for _ in range(2):
+        cls = int(rng.integers(0, 2))
+        w, h = int(rng.integers(size // 4, size // 2)), int(rng.integers(size // 4, size // 2))
+        x1 = int(rng.integers(0, size - w))
+        y1 = int(rng.integers(0, size - h))
+        im[y1 : y1 + h, x1 : x1 + w] = (30, 30, 220) if cls == 0 else (220, 30, 30)
+    return im
+
+
+def test_param_count_parity(ref_tiny, our_tiny):
+    n_ref = sum(p.numel() for p in ref_tiny.parameters())
+    assert our_tiny.num_params() == n_ref == 8_852_366
+
+
+def test_decoded_forward_parity(ref_tiny, our_tiny):
+    """Decoded (1, N, 85) inference tensors must agree elementwise."""
+    img = make_image(0)
+    x = img.astype(np.float32) / 255.0
+    ref = _ref_forward(ref_tiny, x.transpose(2, 0, 1)[None])
+    ours = _our_forward(our_tiny, x[None])
+    assert ref.shape == ours.shape == (1, 1500, 85)  # tiny @ 320: (320/16)^2*3 + (320/32)^2*3
+    np.testing.assert_allclose(ours, ref, atol=2e-3, rtol=1e-3)
+
+
+def test_nms_parity(ref_tiny, our_tiny):
+    """Final detections after each framework's own NMS must match
+    (reference general.py:630-750 semantics incl. class offset, multi-label)."""
+    from utils.general import non_max_suppression as ref_nms
+
+    img = make_image(1)
+    x = img.astype(np.float32) / 255.0
+    ref_pred = _ref_forward(ref_tiny, x.transpose(2, 0, 1)[None])
+    our_pred = _our_forward(our_tiny, x[None])
+
+    for conf, multi_label in ((0.25, False), (0.4, True)):
+        ref_det = ref_nms(torch.from_numpy(ref_pred), conf, 0.45, multi_label=multi_label)[0].numpy()
+        our_det = our_nms(our_pred, conf, 0.45, multi_label=multi_label, max_nms=4096)[0]
+        assert len(ref_det) > 0, "NMS parity test needs non-empty detections"
+        assert len(ref_det) == len(our_det), f"count mismatch at conf={conf}"
+        # both are score-descending; compare row-wise
+        np.testing.assert_allclose(our_det[:, :4], ref_det[:, :4], atol=0.1)
+        np.testing.assert_allclose(our_det[:, 4], ref_det[:, 4], atol=1e-3)
+        np.testing.assert_array_equal(our_det[:, 5], ref_det[:, 5])
+
+
+def test_map_parity_self_labeled(ref_tiny, our_tiny, tmp_path):
+    """End-to-end mAP parity proxy: labels are the REFERENCE model's own
+    detections, so its mAP is ~1.0 by construction; the converted model run
+    through OUR full val pipeline (letterbox -> forward -> NMS -> scale ->
+    process_batch -> ap_per_class) must land within 0.005."""
+    import cv2
+
+    from yolov3_tpu.eval.metrics import ap_per_class, process_batch
+    from yolov3_tpu.data.augment import letterbox
+    from yolov3_tpu.ops.boxes import scale_boxes, xyxy2xywhn
+    from utils.general import non_max_suppression as ref_nms
+
+    iouv = np.linspace(0.5, 0.95, 10)
+    stats_ref, stats_ours = [], []
+    n_labeled = 0
+    # the overfit model fires reliably on its training images; mix those
+    # (native 320, identity letterbox) with fresh 352px variants (real
+    # letterbox + scale_boxes geometry)
+    train_imgs, _ = _synth_batch()
+    eval_images = [im for im in train_imgs] + [make_image(seed, size=352) for seed in range(4)]
+    for img0 in eval_images:
+        # identical preprocessing in both frameworks (our letterbox)
+        img, ratio, pad = letterbox(img0, (320, 320), auto=False, scaleup=False)
+        x = img.astype(np.float32) / 255.0
+
+        ref_pred = _ref_forward(ref_tiny, x.transpose(2, 0, 1)[None])
+        ref_det = ref_nms(torch.from_numpy(ref_pred), 0.15, 0.45)[0].numpy()
+        if not len(ref_det):
+            continue
+        # labels := reference detections mapped back to native space
+        det_native = ref_det.copy()
+        det_native[:, :4] = np.asarray(
+            scale_boxes((320, 320), det_native[:, :4], img0.shape[:2], (ratio, pad))
+        )
+        labels = np.concatenate([det_native[:, 5:6], det_native[:, :4]], 1)  # cls, xyxy native
+        n_labeled += len(labels)
+
+        for which, (pred_fn, nms_fn) in {
+            "ref": (lambda: ref_pred, lambda p: ref_nms(torch.from_numpy(p), 0.001, 0.6, multi_label=True, max_det=300)[0].numpy()),
+            "ours": (lambda: _our_forward(our_tiny, x[None]), lambda p: our_nms(p, 0.001, 0.6, multi_label=True, max_det=300)[0]),
+        }.items():
+            pred = pred_fn()
+            det = nms_fn(pred)
+            det = det.copy()
+            if len(det):
+                det[:, :4] = np.asarray(scale_boxes((320, 320), det[:, :4], img0.shape[:2], (ratio, pad)))
+            correct = process_batch(det, labels, iouv) if len(det) else np.zeros((0, 10), bool)
+            stat = (correct, det[:, 4] if len(det) else np.zeros(0), det[:, 5] if len(det) else np.zeros(0), labels[:, 0])
+            (stats_ref if which == "ref" else stats_ours).append(stat)
+
+    assert n_labeled > 10, "self-labeling produced too few boxes to be meaningful"
+
+    def _map(stats):
+        cat = [np.concatenate([s[i] for s in stats], 0) for i in range(4)]
+        _, _, _, _, _, ap, _ = ap_per_class(*cat)
+        return ap.mean()
+
+    map_ref = _map(stats_ref)
+    map_ours = _map(stats_ours)
+    # labels come from NMS@0.45/conf0.15 while val runs NMS@0.6/conf0.001
+    # multi-label, so self-mAP sits below 1.0 — the parity claim is the GAP
+    assert map_ref > 0.5, f"self-labeled reference mAP too low to be meaningful: {map_ref}"
+    assert abs(map_ref - map_ours) < 0.005, f"mAP gap: ref {map_ref} vs ours {map_ours}"
+
+
+def test_loss_parity(ref_tiny, our_tiny):
+    """ComputeLoss parity on identical weights/batch (reference utils/loss.py:98-181
+    vs train/loss.py): total and per-component losses must agree."""
+    from utils.loss import ComputeLoss as RefComputeLoss
+
+    from yolov3_tpu.train.loss import LossConfig, compute_loss
+
+    hyp = {
+        "box": 0.05, "obj": 1.0, "cls": 0.5, "cls_pw": 1.0, "obj_pw": 1.0,
+        "label_smoothing": 0.0, "fl_gamma": 0.0, "anchor_t": 4.0,
+    }
+    ref_tiny.hyp = dict(hyp)
+    ref_loss_fn = RefComputeLoss(ref_tiny)
+
+    rng = np.random.default_rng(3)
+    B, M = 2, 4
+    imgs = rng.integers(0, 255, (B, 256, 256, 3), np.uint8)
+    x = imgs.astype(np.float32) / 255.0
+
+    boxes = np.array(
+        [[[0, 0.5, 0.5, 0.3, 0.3], [5, 0.25, 0.3, 0.1, 0.2]],
+         [[10, 0.7, 0.6, 0.4, 0.25], [3, 0.4, 0.8, 0.15, 0.1]]],
+        np.float32,
+    )
+
+    # reference targets: (n, 6) [img_idx, cls, xywhn]
+    tgts = []
+    for b in range(B):
+        for m in range(2):
+            tgts.append([b, boxes[b, m, 0], *boxes[b, m, 1:]])
+    ref_targets = torch.tensor(tgts, dtype=torch.float32)
+
+    with torch.no_grad():
+        feats_t = ref_tiny(torch.from_numpy(x.transpose(0, 3, 1, 2)))[1]
+        ref_total, ref_comps = ref_loss_fn([f for f in feats_t], ref_targets)
+
+    # ours: padded (B, M, 5) + mask
+    targets = np.zeros((B, M, 5), np.float32)
+    targets[:, :2] = boxes
+    mask = np.zeros((B, M), bool)
+    mask[:, :2] = True
+    cfg = LossConfig.from_model(our_tiny.spec, hyp)
+    feats = our_tiny.module.apply(our_tiny.variables, jnp.asarray(x), train=False)
+    total, comps = compute_loss(list(feats), jnp.asarray(targets), jnp.asarray(mask), cfg)
+
+    np.testing.assert_allclose(float(total), float(ref_total), rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(comps), ref_comps.numpy()[:3], rtol=5e-3, atol=1e-5)
+
+
+@pytest.mark.parametrize("name,n_params", [("yolov3", 61_949_149), ("yolov3-spp", 62_998_749)])
+def test_flagship_forward_parity(name, n_params):
+    """Full-size darknet-53 models: param-count + decoded-forward parity
+    (reference models/yolov3.yaml, yolov3-spp.yaml; SURVEY.md §2.1 counts)."""
+    from models.yolo import Model
+
+    torch.manual_seed(0)
+    ref = Model(f"/root/reference/models/{name}.yaml", ch=3, nc=80)
+    ref.eval()
+    assert sum(p.numel() for p in ref.parameters()) == n_params
+
+    ours = DetectionModel.from_config(name, imgsz=64)
+    assert ours.num_params() == n_params
+    variables, report = convert_torch_checkpoint(ref.state_dict(), ours)
+    assert not report["missed"], report["missed"][:5]
+    ours = ours.replace_variables(variables)
+
+    img = make_image(0, size=256)
+    x = img.astype(np.float32) / 255.0
+    ref_out = _ref_forward(ref, x.transpose(2, 0, 1)[None])
+    our_out = _our_forward(ours, x[None])
+    assert ref_out.shape == our_out.shape
+    np.testing.assert_allclose(our_out, ref_out, atol=5e-3, rtol=1e-3)
