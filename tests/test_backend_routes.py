@@ -1,0 +1,82 @@
+"""Exported artifacts must run end-to-end through val + detect + benchmarks
+(reference detect.py:166 / val.py:293 / benchmarks.py:44-118 run every format).
+"""
+
+import json
+from pathlib import Path
+
+import cv2
+import numpy as np
+import pytest
+
+from yolov3_tpu import export as export_mod
+from yolov3_tpu.models.backend import MultiBackend
+
+
+@pytest.fixture(scope="module")
+def synth_data(tmp_path_factory):
+    root = tmp_path_factory.mktemp("backendds")
+    (root / "images" / "train").mkdir(parents=True)
+    (root / "labels" / "train").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        im = np.full((96, 96, 3), 114, np.uint8)
+        cv2.rectangle(im, (20, 20), (70, 70), (0, 0, 220), -1)
+        cv2.imwrite(str(root / "images" / "train" / f"{i}.jpg"), im)
+        (root / "labels" / "train" / f"{i}.txt").write_text("0 0.47 0.47 0.53 0.53")
+    return {"path": str(root), "train": "images/train", "val": "images/train", "names": {0: "box", 1: "x"}}
+
+
+@pytest.fixture(scope="module")
+def stablehlo_artifact(tmp_path_factory):
+    out_dir = tmp_path_factory.mktemp("export")
+    res = export_mod.run("yolov3-tiny", include=("stablehlo",), imgsz=96, batch=4, out_dir=out_dir)
+    return res["stablehlo"]
+
+
+def test_val_through_multibackend(stablehlo_artifact, synth_data):
+    from yolov3_tpu.eval import validator
+
+    backend = MultiBackend(stablehlo_artifact, imgsz=96)
+    results, maps, speeds = validator.run(
+        synth_data, model=backend, batch_size=4, imgsz=96, rect=False
+    )
+    assert len(results) == 7 and np.isfinite(results[3])
+
+
+def test_detect_through_multibackend(synth_data, tmp_path):
+    from yolov3_tpu.cli import detect
+
+    # exported graphs are fixed-shape: batch 1 for frame-at-a-time detect
+    art = export_mod.run("yolov3-tiny", include=("stablehlo",), imgsz=96, batch=1,
+                         out_dir=tmp_path / "export1")["stablehlo"]
+    src = Path(synth_data["path"]) / "images" / "train"
+    save_dir = detect.run(
+        weights=art, source=str(src), imgsz=(96, 96),
+        project=str(tmp_path), name="exp", nosave=False,
+    )
+    assert save_dir.exists()
+    assert len(list(save_dir.glob("*.jpg"))) == 4
+
+
+def test_missing_metadata_fails_loud(stablehlo_artifact, tmp_path):
+    """No sidecar -> loud failure, not 80 invented class names (r1 weak #10)."""
+    import shutil
+
+    orphan = tmp_path / "orphan.stablehlo"
+    shutil.copyfile(stablehlo_artifact, orphan)
+    with pytest.raises(FileNotFoundError, match="metadata sidecar"):
+        MultiBackend(orphan)
+
+
+def test_benchmarks_table(synth_data, tmp_path, monkeypatch):
+    """benchmarks exercises export -> MultiBackend -> val for >=3 formats."""
+    from yolov3_tpu.cli import benchmarks
+
+    monkeypatch.chdir(tmp_path)  # exports land under ./runs/export
+    fmts = ("checkpoint", "stablehlo", "savedmodel", "tflite")
+    rows = benchmarks.run(
+        weights="yolov3-tiny", data=synth_data, imgsz=96, batch_size=4, formats=fmts
+    )
+    ok = [r for r in rows if r[2] is not None and np.isfinite(r[2])]
+    assert len(ok) >= 3, f"fewer than 3 formats validated: {rows}"

@@ -37,7 +37,14 @@ def run(weights="yolov3-tiny", data="coco128.yaml", imgsz=640, batch_size=8, har
                 out = export_mod.run(weights, include=(fmt,), imgsz=imgsz, batch=batch_size)[fmt]
                 assert out is not None, "export returned None"
                 size = file_size(out)
-                mAP, ms = float("nan"), float("nan")  # non-native runtimes not benchmarked in-process
+                # export -> val round trip through MultiBackend (reference
+                # benchmarks.py:44-118 vals every format)
+                from yolov3_tpu.models.backend import MultiBackend
+
+                backend = MultiBackend(out, imgsz=imgsz)
+                r, _, speeds = validator.run(data, model=backend, batch_size=batch_size, imgsz=imgsz)
+                mAP = r[3]
+                ms = speeds[1]
             results.append((fmt, size, mAP, ms))
             LOGGER.info(f"benchmark {fmt}: ok in {time.time() - t0:.1f}s")
         except Exception as e:  # noqa: BLE001

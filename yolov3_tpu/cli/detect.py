@@ -68,60 +68,83 @@ def run(
     save_dir = increment_path(Path(project) / name, exist_ok=exist_ok)
     (save_dir / "labels" if save_txt else save_dir).mkdir(parents=True, exist_ok=True)
 
-    # model
-    if Path(str(weights)).exists() and (Path(str(weights)) / "checkpoint.yaml").exists():
-        from yolov3_tpu.utils.checkpoint import load_model_from_checkpoint
-
-        model = load_model_from_checkpoint(weights)
-    else:
-        model = DetectionModel.from_config(str(weights), imgsz=64)
-    from yolov3_tpu.models.detection import optimize_for_inference
-
-    model = optimize_for_inference(model)
-    stride = int(model.stride)
-    names = model.names
-    imgsz = check_img_size(list(imgsz) if not isinstance(imgsz, int) else [imgsz] * 2, s=stride)
-
-    module, anchors, strides = model.module, model.anchors_px, model.spec.strides
-
+    # model — exported artifacts route through MultiBackend (reference
+    # detect.py:166 runs every DetectMultiBackend format)
     import jax.numpy as jnp
 
-    @jax.jit
-    def infer(variables, imgs_u8):
-        x = imgs_u8.astype(jnp.float32) / 255.0
-        if augment:  # TTA (reference detect.py:196 -> yolo.py:239-280)
-            from yolov3_tpu.models.detection import predict_augmented_pure
+    from yolov3_tpu.models.backend import MultiBackend
 
-            pred = predict_augmented_pure(
-                module, variables, x, anchors, strides, model.spec.nl, stride
+    fmt = MultiBackend._sniff(Path(str(weights)))
+    if fmt in ("stablehlo", "savedmodel", "tflite"):
+        assert not augment, "--augment (TTA) is not supported for exported artifacts"
+        backend = MultiBackend(weights, imgsz=imgsz[0] if not isinstance(imgsz, int) else imgsz)
+        model = backend  # for .variables access below (None)
+        stride = int(backend.stride)
+        names = backend.names
+        imgsz = check_img_size(list(imgsz) if not isinstance(imgsz, int) else [imgsz] * 2, s=stride)
+
+        def infer(_variables, imgs_u8):
+            pred = backend(np.asarray(imgs_u8))
+            return batched_nms(
+                jnp.asarray(pred), conf_thres=conf_thres, iou_thres=iou_thres,
+                classes=tuple(classes) if classes else None, agnostic=agnostic_nms,
+                max_det=max_det, max_nms=8192,
             )
+
+        def visualize_features(imgs_u8, save_to):
+            raise NotImplementedError("--visualize requires a native checkpoint/config model")
+    else:
+        if Path(str(weights)).exists() and (Path(str(weights)) / "checkpoint.yaml").exists():
+            from yolov3_tpu.utils.checkpoint import load_model_from_checkpoint
+
+            model = load_model_from_checkpoint(weights)
         else:
-            feats = module.apply(variables, x, train=False)
-            pred = decode_predictions(feats, anchors, strides)
-        return batched_nms(
-            pred,
-            conf_thres=conf_thres,
-            iou_thres=iou_thres,
-            classes=tuple(classes) if classes else None,
-            agnostic=agnostic_nms,
-            max_det=max_det,
-            max_nms=8192,
-        )
+            model = DetectionModel.from_config(str(weights), imgsz=64)
+        from yolov3_tpu.models.detection import optimize_for_inference
 
-    def visualize_features(imgs_u8, save_to):
-        """--visualize: save per-layer feature-map grids (reference plots.py:30-57)."""
-        from yolov3_tpu.utils.plots import feature_visualization
+        model = optimize_for_inference(model)
+        stride = int(model.stride)
+        names = model.names
+        imgsz = check_img_size(list(imgsz) if not isinstance(imgsz, int) else [imgsz] * 2, s=stride)
 
-        x = jnp.asarray(imgs_u8).astype(jnp.float32) / 255.0
-        _, inter = module.apply(
-            model.variables, x, train=False, capture_intermediates=lambda mdl, name: name == "__call__"
-        )
-        save_to.mkdir(parents=True, exist_ok=True)
-        for lname, v in inter["intermediates"].items():
-            out = v["__call__"][0]
-            fmap = out[0] if isinstance(out, (tuple, list)) else out
-            if hasattr(fmap, "ndim") and fmap.ndim == 4:  # NHWC feature map
-                feature_visualization(np.asarray(fmap), lname, lname, save_dir=save_to)
+        module, anchors, strides = model.module, model.anchors_px, model.spec.strides
+
+        @jax.jit
+        def infer(variables, imgs_u8):
+            x = imgs_u8.astype(jnp.float32) / 255.0
+            if augment:  # TTA (reference detect.py:196 -> yolo.py:239-280)
+                from yolov3_tpu.models.detection import predict_augmented_pure
+
+                pred = predict_augmented_pure(
+                    module, variables, x, anchors, strides, model.spec.nl, stride
+                )
+            else:
+                feats = module.apply(variables, x, train=False)
+                pred = decode_predictions(feats, anchors, strides)
+            return batched_nms(
+                pred,
+                conf_thres=conf_thres,
+                iou_thres=iou_thres,
+                classes=tuple(classes) if classes else None,
+                agnostic=agnostic_nms,
+                max_det=max_det,
+                max_nms=8192,
+            )
+
+        def visualize_features(imgs_u8, save_to):
+            """--visualize: save per-layer feature-map grids (reference plots.py:30-57)."""
+            from yolov3_tpu.utils.plots import feature_visualization
+
+            x = jnp.asarray(imgs_u8).astype(jnp.float32) / 255.0
+            _, inter = module.apply(
+                model.variables, x, train=False, capture_intermediates=lambda mdl, name: name == "__call__"
+            )
+            save_to.mkdir(parents=True, exist_ok=True)
+            for lname, v in inter["intermediates"].items():
+                out = v["__call__"][0]
+                fmap = out[0] if isinstance(out, (tuple, list)) else out
+                if hasattr(fmap, "ndim") and fmap.ndim == 4:  # NHWC feature map
+                    feature_visualization(np.asarray(fmap), lname, lname, save_dir=save_to)
 
     # source
     if webcam:
@@ -141,7 +164,8 @@ def run(
             if im.ndim == 3:
                 im = im[None]
         with dt[1]:
-            dets, n_valid = infer(model.variables, jax.device_put(im))
+            variables = getattr(model, "variables", None)
+            dets, n_valid = infer(variables, jax.device_put(im) if variables is not None else im)
             dets = np.asarray(dets)
             n_valid = np.asarray(n_valid)
         if visualize:

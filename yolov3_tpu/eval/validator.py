@@ -52,13 +52,18 @@ def run(
     plots=False,
     names=None,
 ):
-    """Evaluate `model` (a DetectionModel handle) on `data` (dataset yaml/dict or a DataLoader).
+    """Evaluate `model` (a DetectionModel handle OR a MultiBackend wrapping any
+    exported artifact — stablehlo/savedmodel/tflite, reference val.py:293 runs
+    every DetectMultiBackend format) on `data` (dataset yaml/dict or DataLoader).
 
     Returns ((mp, mr, map50, map, *losses), per_class_maps, speeds_ms).
     """
-    assert model is not None, "validator requires a DetectionModel"
+    assert model is not None, "validator requires a DetectionModel or MultiBackend"
+    is_native = hasattr(model, "module")
     stride = int(model.stride)
 
+    if not is_native:
+        rect = False  # exported artifacts are fixed-shape: square letterbox only
     if dataloader is None:
         data_dict = check_dataset(data)
         names = names or data_dict["names"]
@@ -71,21 +76,31 @@ def run(
             stride=stride,
             pad=0.5 if rect else 0.0,
             batch_size=batch_size,
-            num_cls=model.spec.nc,
+            num_cls=model.spec.nc if is_native else len(model.names),
             single_cls=single_cls,
         )
         dataloader = DataLoader(dataset, batch_size=batch_size, shuffle=False)
     names = names or model.names
-    nc = 1 if single_cls else model.spec.nc
+    nc = 1 if single_cls else (model.spec.nc if is_native else len(model.names))
 
     iouv = np.linspace(0.5, 0.95, 10)
     niou = iouv.shape[0]
 
-    with_loss = bool(compute_loss_flag and loss_cfg is not None)
-    forward = _cached_forward(
-        model, conf_thres, 0.45 if task == "speed" else iou_thres, max_det, max_nms,
-        loss_cfg=loss_cfg if with_loss else None, augment=augment,
-    )
+    with_loss = bool(compute_loss_flag and loss_cfg is not None and is_native)
+    if is_native:
+        forward = _cached_forward(
+            model, conf_thres, 0.45 if task == "speed" else iou_thres, max_det, max_nms,
+            loss_cfg=loss_cfg if with_loss else None, augment=augment,
+        )
+    else:  # MultiBackend: decoded predictions from the artifact, NMS here
+        _iou = 0.45 if task == "speed" else iou_thres
+
+        def forward(_vars, imgs_u8):
+            pred = model(np.asarray(imgs_u8))
+            return batched_nms(
+                jax.numpy.asarray(pred), conf_thres=conf_thres, iou_thres=_iou,
+                multi_label=True, max_det=max_det, max_nms=max_nms,
+            )
 
     stats = []
     loss_sum = np.zeros(3)
@@ -96,14 +111,15 @@ def run(
     dt = (Profile(), Profile(), Profile())
     seen = 0
 
+    variables = getattr(model, "variables", None)
     for imgs, targets, mask, shapes in dataloader:
         with dt[0]:
-            imgs_dev = jax.device_put(imgs)
+            imgs_dev = jax.device_put(imgs) if is_native else imgs
         with dt[1]:
             if with_loss:  # loss folded into the same jitted program (no eager re-trace per batch)
-                dets, n_valid, comps = forward(model.variables, imgs_dev, targets, mask)
+                dets, n_valid, comps = forward(variables, imgs_dev, targets, mask)
             else:
-                dets, n_valid = forward(model.variables, imgs_dev)
+                dets, n_valid = forward(variables, imgs_dev)
             dets = np.asarray(jax.block_until_ready(dets))
             n_valid = np.asarray(n_valid)
         if with_loss:

@@ -40,12 +40,20 @@ class MultiBackend:
         self.imgsz = imgsz
         LOGGER.info(f"MultiBackend: loading {w} as {self.format}")
 
-        meta_file = w.with_suffix(".meta.json") if w.suffix else None
+        meta_file = (w.with_suffix(".meta.json") if w.suffix else w.parent / (w.name + ".meta.json"))
         if meta_file and meta_file.is_file():
             meta = json.loads(meta_file.read_text())
             self.stride = int(meta.get("stride", 32))
             self.names = {int(k): v for k, v in meta.get("names", {}).items()}
             self.imgsz = meta.get("imgsz", imgsz)
+        elif self.format in ("stablehlo", "savedmodel", "tflite"):
+            # exported artifacts carry no intrinsic class map — silently
+            # inventing numeric names corrupts downstream labels (r1 weak #10)
+            raise FileNotFoundError(
+                f"missing metadata sidecar {meta_file} for {self.format} artifact {w}; "
+                "re-export with yolov3_tpu.export (it writes the sidecar) or create it "
+                'manually: {"stride": 32, "names": {"0": "person", ...}}'
+            )
 
         if self.format in ("checkpoint", "config", "torch_pt"):
             from yolov3_tpu.cli.val import load_weights

@@ -133,6 +133,42 @@ class DWConv(nn.Module):
         return Conv(self.c2, self.k, self.s, g=g, d=self.d, act=self.act, dtype=self.dtype, name="dw")(x, train)
 
 
+class DWConvTranspose2d(nn.Module):
+    """Depthwise transposed conv (reference common.py:96-101: ConvTranspose2d
+    with groups = gcd(c1, c2)); NHWC via flax ConvTranspose per group."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    p1: int = 0  # input padding
+    p2: int = 0  # output padding
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        import math
+
+        g = math.gcd(x.shape[-1], self.c2)
+        # flax ConvTranspose has no feature_group_count: run the g groups as a
+        # batched conv via split/concat (trace-time loop; XLA fuses the slices)
+        xs = jnp.split(x, g, axis=-1) if g > 1 else [x]
+        outs = [
+            nn.ConvTranspose(
+                self.c2 // g,
+                (self.k, self.k),
+                strides=(self.s, self.s),
+                padding=[(self.p1, self.p1), (self.p1, self.p1)],
+                dtype=self.dtype,
+                name=f"dwt{i}" if g > 1 else "dwt",
+            )(xi)
+            for i, xi in enumerate(xs)
+        ]
+        out = jnp.concatenate(outs, axis=-1) if g > 1 else outs[0]
+        if self.p2:
+            out = jnp.pad(out, ((0, 0), (0, self.p2), (0, self.p2), (0, 0)))
+        return out
+
+
 class Bottleneck(nn.Module):
     """1x1 reduce -> 3x3 conv with optional residual add (reference common.py:150-166)."""
 
@@ -539,6 +575,7 @@ class MixConv2d(nn.Module):
 MODULE_REGISTRY = {
     "Conv": Conv,
     "DWConv": DWConv,
+    "DWConvTranspose2d": DWConvTranspose2d,
     "Bottleneck": Bottleneck,
     "BottleneckCSP": BottleneckCSP,
     "C3": C3,

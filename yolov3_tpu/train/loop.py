@@ -201,6 +201,7 @@ def train(
             train_loader.set_indices(rng_iw.choice(len(train_ds), size=len(train_ds), p=iw / iw.sum()))
         mloss = np.zeros(3)
         nb = 0
+        epoch_metrics = []
         t_epoch = time.time()
         for imgs, targets, mask, _ in train_loader:
             callbacks.run("on_train_batch_start")
@@ -221,9 +222,16 @@ def train(
                 imgs = np.stack([cv2.resize(im, (ms, ms), interpolation=cv2.INTER_LINEAR) for im in imgs])
             batch = shard_batch(mesh, (imgs, targets, mask))
             state, metrics = step_fn(state, *batch)
-            mloss = (mloss * nb + np.array([float(metrics["lbox"]), float(metrics["lobj"]), float(metrics["lcls"])])) / (nb + 1)
+            # keep metrics as device arrays — float() here would block the
+            # async dispatch queue every step, serializing H2D upload of the
+            # next batch against the current step's compute
+            epoch_metrics.append(metrics)
             nb += 1
             callbacks.run("on_train_batch_end")
+        if epoch_metrics:  # one sync at epoch end instead of one per step
+            mloss = np.mean(
+                [[float(m["lbox"]), float(m["lobj"]), float(m["lcls"])] for m in epoch_metrics], axis=0
+            )
         lr_now = float(schedules.lr(np.float32(int(state["step"]))))
         LOGGER.info(
             f"epoch {epoch + 1}/{epochs}: box {mloss[0]:.4f} obj {mloss[1]:.4f} cls {mloss[2]:.4f} "
