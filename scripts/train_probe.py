@@ -1,0 +1,74 @@
+"""TPU train-throughput probe: jitted train step on the flagship at 640.
+
+Measures steady-state images/sec of the full one-program train step
+(normalize -> forward -> loss -> grad -> SGD+schedules -> EMA), N steps
+inside a lax.scan, timed until the loss vector materializes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main(model_name="yolov3", imgsz=640, batch=16, iters=4):
+    import jax
+    import jax.numpy as jnp
+
+    from yolov3_tpu.utils.general import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from yolov3_tpu.models.detection import DetectionModel
+    from yolov3_tpu.train.loss import LossConfig
+    from yolov3_tpu.train.optim import build_optimizer
+    from yolov3_tpu.train.step import init_train_state, make_train_step
+
+    model = DetectionModel.from_config(model_name, imgsz=64, dtype=jnp.bfloat16)
+    hyp = {"lr0": 0.01, "lrf": 0.01, "momentum": 0.937, "weight_decay": 0.0005}
+    tx, _, _ = build_optimizer("sgd", model.params, hyp, epochs=300, steps_per_epoch=1000,
+                               batch_size=batch, min_warmup_steps=0)
+    loss_cfg = LossConfig.from_model(model.spec, hyp)
+    step = make_train_step(model.module, loss_cfg, tx)
+    state = init_train_state(model, tx, loss_cfg=loss_cfg)
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, (iters, batch, imgsz, imgsz, 3), np.uint8)
+    targets = np.zeros((iters, batch, 32, 5), np.float32)
+    targets[..., 0, :] = [0, 0.5, 0.5, 0.3, 0.3]
+    targets[..., 1, :] = [1, 0.25, 0.25, 0.2, 0.2]
+    mask = np.zeros((iters, batch, 32), bool)
+    mask[..., :2] = True
+
+    @jax.jit
+    def run_steps(state, imgs, targets, mask):
+        def body(st, batch):
+            st, m = step(st, *batch)
+            return st, m["loss"]
+
+        return jax.lax.scan(body, state, (imgs, targets, mask))
+
+    imgs_d = jax.device_put(imgs)
+    t0 = time.perf_counter()
+    state2, losses = run_steps(state, imgs_d, targets, mask)
+    print(f"compile+run: {time.perf_counter() - t0:.1f}s, losses {np.asarray(losses)}", flush=True)
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _, losses = run_steps(state, imgs_d, targets, mask)
+        np.asarray(losses)
+        best = min(best, time.perf_counter() - t0)
+    print(f"train {model_name}@{imgsz} bs{batch}: {batch * iters / best:.1f} img/s ({best * 1e3:.0f}ms/{iters} steps)", flush=True)
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="yolov3")
+    p.add_argument("--imgsz", type=int, default=640)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--iters", type=int, default=4)
+    a = p.parse_args()
+    main(a.model, a.imgsz, a.batch, a.iters)

@@ -123,3 +123,33 @@ def test_tta_predict_augmented():
     fwd = _cached_forward(model, 0.25, 0.45, 100, 1024, augment=True)
     dets, n = fwd(model.variables, np.zeros((1, 64, 64, 3), np.uint8))
     assert np.asarray(dets).shape == (1, 100, 6)
+
+
+def test_training_emits_logger_artifacts(ds_root, tmp_path):
+    """A training run must produce label plots, correlogram, first-batch
+    mosaics, val curves, and results plots (reference loggers/__init__.py:112-240)."""
+    from yolov3_tpu.train.loop import train
+
+    data = {"path": str(Path(ds_root).parents[1]), "train": "images/train",
+            "val": "images/train", "names": {0: "a", 1: "b"}}
+    cfg = {"nc": 2, "anchors": [[12, 12, 20, 20, 32, 32], [48, 48, 64, 64, 96, 96]],
+           "layers": [{"from": -1, "n": 1, "op": "Conv", "args": [8, 3, 2]},
+                      {"from": -1, "n": 1, "op": "Conv", "args": [16, 3, 2]},
+                      {"from": -1, "n": 1, "op": "Conv", "args": [16, 3, 2]},
+                      {"from": -1, "n": 1, "op": "Conv", "args": [32, 3, 2]},
+                      {"from": -1, "n": 1, "op": "Conv", "args": [32, 3, 2]},
+                      {"from": [3, 4], "n": 1, "op": "Detect", "args": ["nc", "anchors"]}]}
+    sd = tmp_path / "exp"
+    train(data=data, cfg=cfg, epochs=2, batch_size=4, imgsz=64, save_dir=sd,
+          hyp={"lr0": 0.01, "lrf": 0.1, "momentum": 0.9, "weight_decay": 0.0,
+               "warmup_epochs": 0.0, "box": 0.05, "obj": 1.0, "cls": 0.5, "mosaic": 0.0,
+               "fliplr": 0.0, "hsv_h": 0, "hsv_s": 0, "hsv_v": 0, "translate": 0.0,
+               "scale": 0.0, "anchor_t": 4.0},
+          noautoanchor=True)
+    produced = {p.name for p in sd.glob("*")}
+    # PR/F1 curves require nonzero TPs (random-noise micro-run has none);
+    # confusion matrix is unconditional like the reference
+    for expected in ("labels.png", "labels_correlogram.jpg", "train_batch0.jpg",
+                     "train_batch1.jpg", "results.csv", "results.png",
+                     "confusion_matrix.png"):
+        assert expected in produced, f"{expected} missing; got {sorted(produced)}"

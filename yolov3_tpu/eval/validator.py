@@ -171,7 +171,7 @@ def run(
         ap50, ap_mean = ap[:, 0], ap.mean(1)
         mp, mr, map50, map_ = p.mean(), r.mean(), ap50.mean(), ap_mean.mean()
         if plots:
-            from yolov3_tpu.utils.plots import plot_confusion_matrix, plot_mc_curve, plot_pr_curve
+            from yolov3_tpu.utils.plots import plot_mc_curve, plot_pr_curve
 
             px, py, p_curve, r_curve, f1_curve = curves
             cls_names = [str(names.get(int(c), c)) for c in ap_class]
@@ -179,12 +179,17 @@ def run(
             plot_mc_curve(px, f1_curve[: len(cls_names)], Path(save_dir) / "F1_curve.png", cls_names, ylabel="F1")
             plot_mc_curve(px, p_curve[: len(cls_names)], Path(save_dir) / "P_curve.png", cls_names, ylabel="Precision")
             plot_mc_curve(px, r_curve[: len(cls_names)], Path(save_dir) / "R_curve.png", cls_names, ylabel="Recall")
-            if confusion is not None:
-                plot_confusion_matrix(confusion.matrix, cls_names, Path(save_dir) / "confusion_matrix.png")
     else:
         mp = mr = map50 = map_ = 0.0
         ap_mean = np.zeros(nc)
         ap_class = np.array([], int)
+    if plots and confusion is not None:
+        # the reference plots the confusion matrix whenever plots=True, even
+        # with zero TPs (val.py confusion_matrix.plot is unconditional)
+        from yolov3_tpu.utils.plots import plot_confusion_matrix
+
+        cls_names = [str(names.get(i, i)) for i in range(nc)]
+        plot_confusion_matrix(confusion.matrix, cls_names, Path(save_dir) / "confusion_matrix.png")
 
     nt = np.bincount(stats_cat[3].astype(int), minlength=nc) if len(stats_cat[3]) else np.zeros(nc)
     LOGGER.info(f"{'all':>12}{seen:>11}{int(nt.sum()):>11}{mp:>11.3g}{mr:>11.3g}{map50:>11.3g}{map_:>11.3g}")

@@ -154,7 +154,16 @@ def train(
         optimizer, model.params, hyp, epochs, steps_per_epoch, batch_size, cos_lr=cos_lr,
         freeze=freeze_layers,
     )
-    mesh = create_mesh()
+    import math as _math
+
+    n_dev = jax.device_count()
+    eff_batch = batch_size // 4 if quad else batch_size  # quad collate quarters the batch dim
+    n_use = _math.gcd(eff_batch, n_dev)
+    if n_use < n_dev:
+        LOGGER.warning(
+            f"batch {eff_batch} not divisible by {n_dev} devices — using a {n_use}-device mesh"
+        )
+    mesh = create_mesh(jax.devices()[:n_use])
     step_fn = make_train_step(model.module, loss_cfg, tx, mesh=mesh, loss_scale=4.0 if quad else 1.0)
     state = init_train_state(model, tx, loss_cfg=loss_cfg)
     if resume:
@@ -176,6 +185,13 @@ def train(
             # structure survives the orbax round-trip
             state, _ = load_checkpoint(last, target=state)
     state = replicate(mesh, state)
+
+    if jax.process_index() == 0 and train_ds.labels:
+        # label statistics plots + correlogram (reference train.py:318, plots.py:198-240)
+        all_labels = np.concatenate([lb for lb in train_ds.labels if len(lb)], 0) if any(
+            len(lb) for lb in train_ds.labels
+        ) else np.zeros((0, 5), np.float32)
+        callbacks.run("on_pretrain_routine_end", labels=all_labels, names=names)
 
     stopper = EarlyStopping(patience=patience)
     results_file = save_dir / "results.csv"
@@ -226,8 +242,12 @@ def train(
             # async dispatch queue every step, serializing H2D upload of the
             # next batch against the current step's compute
             epoch_metrics.append(metrics)
+            ni = epoch * steps_per_epoch + nb  # global batch counter
             nb += 1
-            callbacks.run("on_train_batch_end")
+            if ni < 3:  # first-3-batch mosaics (reference loggers/__init__.py:124-136)
+                callbacks.run("on_train_batch_end", ni=ni, imgs=imgs, targets=targets, mask=mask)
+            else:
+                callbacks.run("on_train_batch_end", ni=ni)
         if epoch_metrics:  # one sync at epoch end instead of one per step
             mloss = np.mean(
                 [[float(m["lbox"]), float(m["lobj"]), float(m["lcls"])] for m in epoch_metrics], axis=0
@@ -248,9 +268,10 @@ def train(
             results, maps, _ = validator.run(
                 data_dict, model=ema_model, batch_size=batch_size, imgsz=imgsz,
                 dataloader=val_loader, loss_cfg=loss_cfg, compute_loss_flag=True, names=names,
-                single_cls=single_cls,
+                single_cls=single_cls, plots=(epoch == epochs - 1), save_dir=save_dir,
             )
-            fi = float(fitness(np.array(results).reshape(1, -1)))
+            fi = float(np.asarray(fitness(np.array(results).reshape(1, -1))).reshape(-1)[0])
+            callbacks.run("on_val_end", epoch=epoch)
         # 13 standard keys -> Loggers fan-out (CSV always, TB/W&B/... when active)
         vals = [*mloss, *[float(v) for v in (list(results) + [0.0] * 7)[:7]], lr_now, lr_now, lr_now]
         callbacks.run("on_fit_epoch_end", epoch=epoch, fitness=fi, vals=vals)
@@ -269,7 +290,7 @@ def train(
                 save_checkpoint(wdir / "best", host_state, spec=model.spec, meta=meta)
             if save_period > 0 and epoch % save_period == 0:
                 save_checkpoint(wdir / f"epoch{epoch}", host_state, spec=model.spec, meta=meta)
-            callbacks.run("on_model_save", epoch=epoch)
+            callbacks.run("on_model_save", epoch=epoch, last=str(wdir / "last"))
 
         if stopper(epoch, fi):
             LOGGER.info(f"EarlyStopping: no improvement in {patience} epochs, stopping at epoch {epoch}")

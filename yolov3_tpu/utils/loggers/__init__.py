@@ -90,9 +90,49 @@ class Loggers:
         if self.comet:
             self.comet.log_metrics(x, epoch=epoch)
 
+    def on_pretrain_routine_end(self, labels=None, names=()):
+        """Label statistics plots at train start (reference loggers/__init__.py:112-122)."""
+        if labels is None or not len(labels):
+            return
+        try:
+            from yolov3_tpu.utils.plots import plot_labels, plot_labels_correlogram
+
+            plot_labels(labels, names, self.save_dir)
+            plot_labels_correlogram(labels, self.save_dir)
+            self._log_image_files(sorted(self.save_dir.glob("labels*.jpg")) +
+                                  sorted(self.save_dir.glob("labels*.png")), "Labels", 0)
+        except Exception as e:  # noqa: BLE001
+            LOGGER.warning(f"label plots failed: {e}")
+
+    def on_train_batch_end(self, ni, imgs=None, targets=None, mask=None):
+        """Mosaic the first 3 train batches (reference loggers/__init__.py:124-136)."""
+        if imgs is None or ni >= 3:
+            return
+        try:
+            from yolov3_tpu.utils.plots import plot_images
+
+            f = self.save_dir / f"train_batch{ni}.jpg"
+            plot_images(imgs, targets, masks=mask, fname=f)
+            if ni == 2:
+                self._log_image_files(sorted(self.save_dir.glob("train_batch*.jpg")), "Mosaics", 0)
+        except Exception as e:  # noqa: BLE001
+            LOGGER.warning(f"train batch mosaic failed: {e}")
+
+    def on_val_end(self, epoch=0):
+        """Forward val plot artifacts (PR/F1/confusion) to image sinks."""
+        files = [self.save_dir / n for n in
+                 ("PR_curve.png", "F1_curve.png", "P_curve.png", "R_curve.png", "confusion_matrix.png")]
+        self._log_image_files([f for f in files if f.exists()], "Validation", epoch)
+
+    def on_model_save(self, last=None, epoch=0, final=False):
+        """Checkpoint notifications to experiment trackers (reference
+        loggers/__init__.py:178-190; orbax dirs logged by path, not uploaded)."""
+        if self.wandb and last:
+            self.wandb.log({"model/checkpoint": str(last), "epoch": epoch})
+        if self.comet and last:
+            self.comet.log_other(f"checkpoint_epoch_{epoch}", str(last))
+
     def on_train_end(self, results_csv=None):
-        if self.tb and hasattr(self.tb, "flush"):
-            self.tb.flush()
         if results_csv and Path(results_csv).exists():
             try:
                 from yolov3_tpu.utils.plots import plot_results
@@ -100,14 +140,56 @@ class Loggers:
                 plot_results(results_csv)
             except Exception as e:  # noqa: BLE001
                 LOGGER.warning(f"results plot failed: {e}")
+        self._log_image_files(
+            [f for f in (self.save_dir / "results.png",) if f.exists()], "Results", 0
+        )
+        if self.tb and hasattr(self.tb, "flush"):
+            self.tb.flush()
         if self.wandb:
             self.wandb.finish()
 
+    def _log_image_files(self, files, name, step):
+        """Push image files to TB/W&B/Comet (reference TB image support)."""
+        for f in files:
+            f = Path(f)
+            try:
+                if self.tb and hasattr(self.tb, "add_image"):
+                    import cv2
+                    import numpy as np
+
+                    im = cv2.imread(str(f))
+                    if im is not None:
+                        self.tb.add_image(f"{name}/{f.stem}", im[:, :, ::-1], step, dataformats="HWC")
+                if self.wandb:
+                    import wandb
+
+                    self.wandb.log({f"{name}/{f.stem}": wandb.Image(str(f))})
+                if self.comet:
+                    self.comet.log_image(str(f), name=f"{name}/{f.stem}", step=step)
+            except Exception as e:  # noqa: BLE001
+                LOGGER.warning(f"image logging failed for {f}: {e}")
+
     def attach(self, callbacks):
-        """Register hook adapters on a Callbacks bus."""
+        """Register the full hook fan-out on a Callbacks bus
+        (reference loggers/__init__.py:112-240)."""
+        callbacks.register_action(
+            "on_pretrain_routine_end", "loggers",
+            lambda labels=None, names=(), **kw: self.on_pretrain_routine_end(labels, names),
+        )
+        callbacks.register_action(
+            "on_train_batch_end", "loggers",
+            lambda ni=3, imgs=None, targets=None, mask=None, **kw: self.on_train_batch_end(ni, imgs, targets, mask),
+        )
         callbacks.register_action(
             "on_fit_epoch_end", "loggers",
             lambda epoch=0, fitness=0.0, vals=(), **kw: self.on_fit_epoch_end(vals or [fitness], epoch),
+        )
+        callbacks.register_action(
+            "on_val_end", "loggers", lambda epoch=0, **kw: self.on_val_end(epoch)
+        )
+        callbacks.register_action(
+            "on_model_save", "loggers",
+            lambda last=None, epoch=0, final=False, **kw: self.on_model_save(last, epoch, final),
         )
         callbacks.register_action("on_train_end", "loggers", lambda **kw: self.on_train_end(self.csv_file))
         return callbacks
@@ -124,6 +206,10 @@ class _TFSummaryWriter:
         with self._writer.as_default():
             self._tf.summary.scalar(tag, value, step=step)
 
+    def add_image(self, tag, img_hwc, step, dataformats="HWC"):
+        with self._writer.as_default():
+            self._tf.summary.image(tag, img_hwc[None], step=step)
+
     def flush(self):
         self._writer.flush()
 
@@ -138,4 +224,4 @@ class GenericLogger:
         self.inner.on_fit_epoch_end(list(metrics.values()), epoch)
 
     def log_images(self, files, name="Images", epoch=0):
-        pass  # image logging handled by plots; TB image support TODO
+        self.inner._log_image_files([Path(f) for f in files], name, epoch)

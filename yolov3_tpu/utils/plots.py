@@ -294,3 +294,30 @@ def feature_visualization(x, module_type, stage, n=32, save_dir=Path("runs/detec
         fig.savefig(f, dpi=300, bbox_inches="tight")
     plt.close(fig)
     LOGGER.info(f"Saved feature visualization to {f}")
+
+
+def plot_labels_correlogram(labels, save_dir=Path(".")):
+    """Pairwise (x, y, w, h) label correlogram (reference plots.py:198-215
+    seaborn pairplot); gated on seaborn availability."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import pandas as pd
+        import seaborn as sn
+
+        labels = np.asarray(labels)
+        if not len(labels):
+            return None
+        df = pd.DataFrame(labels[:, 1:5], columns=["x", "y", "width", "height"])
+        sn.pairplot(df, corner=True, diag_kind="auto", kind="hist",
+                    diag_kws=dict(bins=50), plot_kws=dict(pmax=0.9))
+        out = Path(save_dir) / "labels_correlogram.jpg"
+        import matplotlib.pyplot as plt
+
+        plt.savefig(out, dpi=200)
+        plt.close()
+        return out
+    except Exception as e:  # noqa: BLE001
+        LOGGER.warning(f"labels correlogram failed: {e}")
+        return None
