@@ -153,3 +153,33 @@ def test_training_emits_logger_artifacts(ds_root, tmp_path):
                      "train_batch1.jpg", "results.csv", "results.png",
                      "confusion_matrix.png"):
         assert expected in produced, f"{expected} missing; got {sorted(produced)}"
+
+
+def test_env_probes_and_unicode_paths(tmp_path):
+    """Env probes exist and run; cv2 wrappers handle non-ASCII paths
+    (reference utils/general.py:92-155, 869-900)."""
+    from yolov3_tpu.utils import env
+
+    assert isinstance(env.is_colab(), bool)
+    assert isinstance(env.is_kaggle(), bool)
+    assert isinstance(env.is_docker(), bool)
+    assert isinstance(env.is_jupyter(), bool)
+    assert env.is_writeable(tmp_path, test=True)
+    cfg = env.user_config_dir()
+    assert cfg.exists()
+
+    im = np.full((16, 16, 3), 99, np.uint8)
+    p = tmp_path / "изображение_テスト.png"
+    assert env.imwrite(p, im)
+    back = env.imread(p)
+    np.testing.assert_array_equal(back, im)
+
+    # the dataset reader must survive non-ASCII image paths end-to-end
+    root = tmp_path / "images" / "train"
+    root.mkdir(parents=True)
+    (tmp_path / "labels" / "train").mkdir(parents=True)
+    env.imwrite(root / "картинка.jpg", np.full((32, 32, 3), 50, np.uint8))
+    (tmp_path / "labels" / "train" / "картинка.txt").write_text("0 0.5 0.5 0.5 0.5")
+    ds = DetectionDataset(str(root), imgsz=32, augment=False, batch_size=1, num_cls=1)
+    img, labels, _ = ds[0]
+    assert img.shape == (32, 32, 3) and len(labels) == 1

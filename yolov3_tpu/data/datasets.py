@@ -237,7 +237,9 @@ class DetectionDataset:
 
     def _read_resize(self, i):
         """Decode + pre-resize one image so the long side is imgsz."""
-        im = cv2.imread(self.im_files[i])  # BGR
+        from yolov3_tpu.utils.env import imread
+
+        im = imread(self.im_files[i])  # BGR; non-ASCII-path-safe (reference cv2 patch)
         assert im is not None, f"Image not found {self.im_files[i]}"
         h0, w0 = im.shape[:2]
         r = self.imgsz / max(h0, w0)

@@ -269,3 +269,38 @@ def _clip_augmented(y, nl):
     i = (y[-1].shape[1] // g) * 4 ** (nl - 1)
     y[-1] = y[-1][:, i:]
     return y
+
+
+def _main():
+    """Model self-test CLI (reference models/yolo.py:__main__, 395-415):
+    build a config, optionally every config (--test), per-layer profile
+    (--line-profile)."""
+    import argparse
+
+    from yolov3_tpu.utils.general import enable_compilation_cache
+
+    enable_compilation_cache()
+    p = argparse.ArgumentParser()
+    p.add_argument("--cfg", default="yolov3-tiny")
+    p.add_argument("--imgsz", type=int, default=256)
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--test", action="store_true", help="build all registered configs")
+    p.add_argument("--line-profile", action="store_true", help="per-layer time/FLOPs table")
+    a = p.parse_args()
+
+    names = ("yolov3", "yolov3-spp", "yolov3-tiny") if a.test else (a.cfg,)
+    for name in names:
+        model = DetectionModel.from_config(name, imgsz=min(a.imgsz, 64))
+        model.info(a.imgsz)
+        if a.line_profile:
+            from yolov3_tpu.utils.profiling import profile_layers
+
+            profile_layers(model, imgsz=a.imgsz, batch=a.batch_size)
+        else:
+            x = jnp.zeros((a.batch_size, a.imgsz, a.imgsz, 3), jnp.float32)
+            pred, feats = model.predict(x)
+            LOGGER.info(f"{name}: forward OK — decoded {tuple(pred.shape)}")
+
+
+if __name__ == "__main__":
+    _main()

@@ -109,17 +109,86 @@ def prune(params, amount=0.3):
 
 
 def profile_layers(model, imgsz=640, batch=1, reps=10):
-    """Per-layer forward timing (BaseModel._profile_one_layer parity, yolo.py:149-161).
+    """Per-layer forward profile: time + GFLOPs + params per spec layer
+    (BaseModel._profile_one_layer parity, reference yolo.py:149-161: 10 reps +
+    thop GFLOPs per module; here wall timers + XLA cost_analysis).
 
-    Runs each spec layer's computation in isolation via incremental graph
-    prefixes — coarse but dependency-correct."""
+    Walks the graph eagerly, jitting each layer module in isolation on its
+    real inputs. Returns a list of per-layer dicts and logs a table.
+    """
     import jax.numpy as jnp
 
-    x = jnp.zeros((batch, imgsz, imgsz, 3), jnp.float32)
-    times = []
-    full = speed_benchmark(
-        jax.jit(lambda v, a: model.module.apply(v, a, train=False)), (model.variables, x), n=reps,
-        label=f"{model.spec.name} full forward",
-    )
-    LOGGER.info(f"total: {full * 1e3:.2f} ms ({len(model.spec.layers)} layers)")
-    return full
+    from yolov3_tpu.models.detect_head import Detect
+    from yolov3_tpu.nn.modules import MODULE_REGISTRY, MULTI_INPUT_OPS
+
+    spec = model.spec
+    params = model.variables["params"]
+    bstats = model.variables.get("batch_stats", {})
+
+    def layer_vars(name):
+        v = {"params": params.get(name, {})}
+        if name in bstats:
+            v["batch_stats"] = bstats[name]
+        return v
+
+    def _fields(cls):
+        import dataclasses
+
+        return {f.name for f in dataclasses.fields(cls)}
+
+    x = jnp.zeros((batch, imgsz, imgsz, 3), model.dtype)
+    y, out, prev_i = {}, x, -1
+    rows = []
+    LOGGER.info(f"{'layer':>6} {'op':<18}{'params':>12}{'GFLOPs':>10}{'ms':>9}  output")
+    for ls in spec.layers:
+        if ls.op == "Detect":
+            inp = [out if j == prev_i else y[j] for j in ls.f]
+            mod = Detect(nc=spec.nc, na=spec.na, strides=spec.strides, dtype=model.dtype)
+        elif ls.op in MULTI_INPUT_OPS:
+            inp = [out if j == prev_i else y[j] for j in ls.f]
+            mod = None
+        else:
+            inp = out if ls.f[0] == prev_i else y[ls.f[0]]
+            mod = None
+
+        sub_times, sub_flops, sub_params, result = 0.0, 0.0, 0, inp
+        names = [f"l{ls.i}"] if ls.n == 1 or ls.op == "Detect" else [f"l{ls.i}_{r}" for r in range(ls.n)]
+        for name in names:
+            if mod is None:
+                cls = MODULE_REGISTRY[ls.op]
+                kw = {}
+                if "dtype" in _fields(cls):
+                    kw["dtype"] = model.dtype
+                m = cls(*ls.args, **kw)
+            else:
+                m = mod
+            v = layer_vars(name)
+            fn = jax.jit(lambda vv, a, _m=m: _m.apply(vv, a, train=False))
+            try:
+                compiled = fn.lower(v, result).compile()
+                flops = float((compiled.cost_analysis() or {}).get("flops", 0.0))
+            except Exception:  # noqa: BLE001
+                flops = 0.0
+            t = speed_benchmark(fn, (v, result), n=reps, warmup=2)
+            result = fn(v, result)
+            sub_times += t
+            sub_flops += flops
+            sub_params += sum(int(np.prod(p.shape)) for p in jax.tree.leaves(v["params"]))
+
+        shape = [tuple(r.shape) for r in result] if isinstance(result, (tuple, list)) else tuple(result.shape)
+        rows.append({
+            "i": ls.i, "op": ls.op, "params": sub_params,
+            "gflops": sub_flops / 1e9, "ms": sub_times * 1e3, "out": shape,
+        })
+        LOGGER.info(
+            f"{ls.i:>6} {ls.op:<18}{sub_params:>12,}{sub_flops / 1e9:>10.2f}{sub_times * 1e3:>9.2f}  {shape}"
+        )
+        out, prev_i = result, ls.i
+        if ls.i in spec.save:
+            y[ls.i] = out
+        if ls.op == "Detect":
+            break
+    total_ms = sum(r["ms"] for r in rows)
+    total_gflops = sum(r["gflops"] for r in rows)
+    LOGGER.info(f"{'total':>6} {'':<18}{model.num_params():>12,}{total_gflops:>10.2f}{total_ms:>9.2f}")
+    return rows
