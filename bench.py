@@ -32,7 +32,7 @@ import numpy as np
 A100_BASELINE_IMGS_PER_S = 200.0
 
 
-def main(model_name="yolov3", imgsz=640, batch=64, iters=8, dtype="bfloat16"):
+def main(model_name="yolov3", imgsz=640, batch=128, iters=8, dtype="bfloat16"):
     import jax
     import jax.numpy as jnp
 
@@ -78,11 +78,12 @@ def main(model_name="yolov3", imgsz=640, batch=64, iters=8, dtype="bfloat16"):
         dets, n = pipeline(model.variables, imgs)
         np.asarray(n)
         np.asarray(dets)
-    except Exception as e:  # noqa: BLE001 — smaller devices: retry at batch 16
+    except Exception as e:  # noqa: BLE001 — smaller devices: walk down the batch ladder
         if batch <= 16:
             raise
-        print(f"# batch {batch} failed ({type(e).__name__}); retrying at 16", flush=True)
-        return main(model_name, imgsz, 16, iters, dtype)
+        nxt = {128: 64, 64: 16}.get(batch, 16)
+        print(f"# batch {batch} failed ({type(e).__name__}); retrying at {nxt}", flush=True)
+        return main(model_name, imgsz, nxt, iters, dtype)
 
     best = float("inf")
     for _ in range(3):  # best-of-3: the tunnel adds run-to-run noise
@@ -112,7 +113,7 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="yolov3")
     p.add_argument("--imgsz", type=int, default=640)
-    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--batch", type=int, default=128)
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--dtype", default="bfloat16")
     a = p.parse_args()
