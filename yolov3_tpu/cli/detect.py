@@ -51,6 +51,7 @@ def run(
     hide_labels=False,
     hide_conf=False,
     vid_stride=1,
+    update=False,
 ):
     """Run inference over a source; returns the save_dir."""
     import jax
@@ -232,6 +233,15 @@ def run(
 
             LOGGER.info(f"{s_i}{'' if len(det) else '(no detections), '}{dt[1].dt * 1e3:.1f}ms")
 
+    if update:
+        # strip the optimizer from the checkpoint after a successful run
+        # (reference detect.py:283-286 strip_optimizer --update)
+        wp = Path(str(weights))
+        if wp.is_dir() and (wp / "checkpoint.yaml").exists():
+            from yolov3_tpu.utils.checkpoint import strip_checkpoint
+
+            strip_checkpoint(wp)
+
     t = tuple(x.t / max(seen, 1) * 1e3 for x in dt)
     LOGGER.info(f"Speed: %.1fms pre, %.1fms inference+NMS, %.1fms post per image" % t)
     if save_txt or save_img:
@@ -264,6 +274,7 @@ def parse_opt():
     parser.add_argument("--hide-labels", default=False, action="store_true")
     parser.add_argument("--hide-conf", default=False, action="store_true")
     parser.add_argument("--vid-stride", type=int, default=1)
+    parser.add_argument("--update", action="store_true", help="strip optimizer from checkpoint after run")
     opt = parser.parse_args()
     opt.imgsz = opt.imgsz * 2 if len(opt.imgsz) == 1 else opt.imgsz
     print_args(vars(opt))

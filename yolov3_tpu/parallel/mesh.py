@@ -21,9 +21,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def initialize_distributed(coordinator=None, num_processes=None, process_id=None):
-    """Multi-host init (jax.distributed). Single-host runs skip this."""
-    if num_processes and num_processes > 1:
+    """Multi-host init — the analog of dist.init_process_group (reference
+    train.py:680-683), but coordinating HOSTS not devices: one JAX process per
+    host, devices enumerated globally afterwards.
+
+    Runs whenever an explicit coordinator is given (also at num_processes=1,
+    so the path is exercisable single-host); bare single-host runs skip it.
+    """
+    if num_processes and (num_processes > 1 or coordinator):
         jax.distributed.initialize(coordinator, num_processes, process_id)
+        LOGGER_INFO = f"initialized distributed: process {jax.process_index()}/{jax.process_count()}"
+        from yolov3_tpu.utils.general import LOGGER
+
+        LOGGER.info(LOGGER_INFO)
 
 
 def create_mesh(devices=None, axis_name="data"):
