@@ -183,3 +183,18 @@ def test_env_probes_and_unicode_paths(tmp_path):
     ds = DetectionDataset(str(root), imgsz=32, augment=False, batch_size=1, num_cls=1)
     img, labels, _ = ds[0]
     assert img.shape == (32, 32, 3) and len(labels) == 1
+
+
+def test_profile_layers_param_accounting():
+    """Per-layer profiler covers every layer; param sum equals the model total."""
+    from yolov3_tpu.models.detection import DetectionModel
+    from yolov3_tpu.utils.profiling import profile_layers
+
+    m = DetectionModel.from_config("yolov3-tiny", imgsz=64)
+    rows = profile_layers(m, imgsz=64, batch=1, reps=1)
+    assert len(rows) == len(m.spec.layers)
+    assert sum(r["params"] for r in rows) == m.num_params()
+    # fused form must profile too (r2 regression: missing fused kwarg)
+    mf = m.fuse()
+    rows_f = profile_layers(mf, imgsz=64, batch=1, reps=1)
+    assert len(rows_f) == len(m.spec.layers)

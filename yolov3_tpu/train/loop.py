@@ -83,10 +83,12 @@ def train(
     hyp = dict(hyp or yaml_load(Path(__file__).parents[1] / "data" / "hyps" / "scratch-low.yaml"))
     yaml_save(save_dir / "hyp.yaml", hyp)
     init_seeds(seed)
+    loggers = None
     if jax.process_index() == 0:
         from yolov3_tpu.utils.loggers import Loggers
 
-        Loggers(save_dir=save_dir, hyp=hyp).attach(callbacks)
+        loggers = Loggers(save_dir=save_dir, hyp=hyp)
+        loggers.attach(callbacks)
     callbacks.run("on_pretrain_routine_start")
 
     # data
@@ -111,6 +113,8 @@ def train(
     model.names = names
     stride = int(model.stride)
     nl = model.spec.nl
+    if loggers is not None:
+        loggers.log_model_graph(model, imgsz=min(imgsz, 256))  # TB graph-trace analog
 
     # datasets
     train_ds = DetectionDataset(

@@ -90,6 +90,27 @@ class Loggers:
         if self.comet:
             self.comet.log_metrics(x, epoch=epoch)
 
+    def log_model_graph(self, model, imgsz=640):
+        """TB graph-trace analog (reference loggers/__init__.py:242-244 add_graph):
+        the jitted forward's StableHLO module logged as TB text (XLA's graph IS
+        the executed program — more faithful than a torch module trace)."""
+        if not self.tb:
+            return
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            x = jnp.zeros((1, int(imgsz), int(imgsz), 3), model.dtype)
+            hlo = jax.jit(lambda v, a: model.module.apply(v, a, train=False)).lower(
+                model.variables, x
+            ).as_text()
+            text = hlo[:100_000]  # cap: full flagship HLO is MBs
+            if hasattr(self.tb, "add_text"):
+                self.tb.add_text("model/stablehlo", f"```\n{text}\n```", 0)
+            LOGGER.info(f"TensorBoard: logged model graph ({len(hlo)} chars of StableHLO)")
+        except Exception as e:  # noqa: BLE001
+            LOGGER.warning(f"model graph logging failed: {e}")
+
     def on_pretrain_routine_end(self, labels=None, names=()):
         """Label statistics plots at train start (reference loggers/__init__.py:112-122)."""
         if labels is None or not len(labels):
@@ -209,6 +230,10 @@ class _TFSummaryWriter:
     def add_image(self, tag, img_hwc, step, dataformats="HWC"):
         with self._writer.as_default():
             self._tf.summary.image(tag, img_hwc[None], step=step)
+
+    def add_text(self, tag, text, step=0):
+        with self._writer.as_default():
+            self._tf.summary.text(tag, text, step=step)
 
     def flush(self):
         self._writer.flush()

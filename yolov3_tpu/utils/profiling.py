@@ -156,9 +156,12 @@ def profile_layers(model, imgsz=640, batch=1, reps=10):
         for name in names:
             if mod is None:
                 cls = MODULE_REGISTRY[ls.op]
+                fields = _fields(cls)
                 kw = {}
-                if "dtype" in _fields(cls):
+                if "dtype" in fields:
                     kw["dtype"] = model.dtype
+                if getattr(model, "fused", False) and "fused" in fields:
+                    kw["fused"] = True
                 m = cls(*ls.args, **kw)
             else:
                 m = mod
