@@ -199,6 +199,72 @@ def nms_from_candidates(
     )
 
 
+def _inject_apriori_labels(pred: np.ndarray, labels) -> np.ndarray:
+    """Append apriori label rows as perfect-confidence candidates
+    (hybrid autolabelling, reference general.py:689-695)."""
+    nc = pred.shape[2] - 5
+    extra = max(len(lb) for lb in labels)
+    pads = []
+    for lb in labels:
+        v = np.zeros((extra, 5 + nc), dtype=np.float32)
+        if len(lb):
+            lb = np.asarray(lb, dtype=np.float32)
+            v[: len(lb), :4] = lb[:, 1:5]
+            v[: len(lb), 4] = 1.0
+            v[np.arange(len(lb)), lb[:, 0].astype(int) + 5] = 1.0
+        pads.append(v)
+    return np.concatenate([pred, np.stack(pads)], axis=1)
+
+
+def _native_nms(prediction, conf_thres, iou_thres, classes, agnostic,
+                multi_label, max_det, max_nms):
+    """Candidate prep in numpy + the C++ greedy loop (yolov3_tpu.native).
+
+    Exact-equality contract with `batched_nms` (tested in tests/test_native.py):
+    same conf = obj*cls candidates, same top-`max_nms` prefilter with
+    first-index tie-break, same class-offset greedy suppression.
+    """
+    from yolov3_tpu import native
+
+    pred = np.asarray(prediction, dtype=np.float32)
+    bs, n, no = pred.shape
+    nc = no - 5
+    box = np.asarray(xywh2xyxy(pred[..., :4]))
+    obj = pred[..., 4]
+    cls_scores = pred[..., 5:] * obj[..., None]
+
+    if multi_label and nc > 1:
+        scores = cls_scores.reshape(bs, -1)
+        cls_ids = np.tile(np.arange(nc, dtype=np.float32), n)
+        box_idx = np.repeat(np.arange(n), nc)
+        valid = (scores > conf_thres) & (obj[:, box_idx] > conf_thres)
+        cls_ids = np.broadcast_to(cls_ids, scores.shape)
+    else:
+        scores = cls_scores.max(axis=2)
+        cls_ids = cls_scores.argmax(axis=2).astype(np.float32)
+        box_idx = np.arange(n)
+        valid = (scores > conf_thres) & (obj > conf_thres)
+    if classes is not None:
+        allowed = np.zeros(nc, bool)
+        allowed[np.asarray(classes, int)] = True
+        valid &= allowed[cls_ids.astype(int)]
+
+    masked = np.where(valid, scores, -1.0)
+    k = min(max_nms, masked.shape[1])
+    # stable descending sort == lax.top_k ordering (ties -> lowest index first)
+    order = np.argsort(-masked, axis=1, kind="stable")[:, :k]
+    top_scores = np.take_along_axis(masked, order, axis=1)
+    rows = np.arange(bs)[:, None]
+    top_box = box[rows, box_idx[order]]
+    top_cls = np.take_along_axis(cls_ids, order, axis=1)
+    offset = np.zeros_like(top_cls) if agnostic else top_cls * MAX_WH
+    out, n_valid = native.greedy_nms_batch(
+        top_box + offset[..., None], top_box, top_scores, top_cls,
+        iou_thres=iou_thres, max_det=max_det,
+    )
+    return [out[i, : n_valid[i]] for i in range(bs)]
+
+
 def non_max_suppression(
     prediction,
     conf_thres=0.25,
@@ -210,31 +276,39 @@ def non_max_suppression(
     max_det=300,
     max_nms=30000,
     merge=False,
+    engine="auto",
 ):
     """Host-facing NMS mirroring the reference's list-of-(n,6) ndarray output.
 
     Accepts (bs, N, 5+nc) arrays (or the (inference, train_out) tuple the model
     returns in val mode, reference general.py:663-664). Optional `labels`
     injects apriori boxes for hybrid autolabelling (general.py:689-695).
+
+    `engine`: "xla" (jitted `batched_nms`), "native" (C++ greedy loop — the
+    in-tree analog of torchvision's C++ NMS kernel, reference general.py:733),
+    or "auto" — native for host-resident numpy predictions (CPU serving
+    backends, where an XLA compile per shape is wasted), XLA otherwise.
     """
     if isinstance(prediction, (list, tuple)):
         prediction = prediction[0]
+    use_native = engine == "native"
+    if engine == "auto" and isinstance(prediction, np.ndarray) and not merge:
+        from yolov3_tpu import native
+
+        use_native = native.available()
+    if use_native and not merge:
+        pred = np.asarray(prediction, dtype=np.float32)
+        if labels and any(len(lb) for lb in labels):
+            pred = _inject_apriori_labels(pred, labels)
+        return _native_nms(
+            pred, float(conf_thres), float(iou_thres), classes, bool(agnostic),
+            bool(multi_label), int(max_det), int(max_nms),
+        )
     prediction = jnp.asarray(prediction)
     nc = prediction.shape[2] - 5
 
     if labels and any(len(lb) for lb in labels):
-        # materialize apriori labels as perfect-confidence candidate rows
-        extra = max(len(lb) for lb in labels)
-        pads = []
-        for lb in labels:
-            v = np.zeros((extra, 5 + nc), dtype=np.float32)
-            if len(lb):
-                lb = np.asarray(lb, dtype=np.float32)
-                v[: len(lb), :4] = lb[:, 1:5]
-                v[: len(lb), 4] = 1.0
-                v[np.arange(len(lb)), lb[:, 0].astype(int) + 5] = 1.0
-            pads.append(v)
-        prediction = jnp.concatenate([prediction, jnp.asarray(np.stack(pads))], axis=1)
+        prediction = jnp.asarray(_inject_apriori_labels(np.asarray(prediction), labels))
 
     out, n_valid = batched_nms(
         prediction,
