@@ -32,6 +32,10 @@ def save_checkpoint(path, state, spec=None, meta=None):
     ckpt.wait_until_finished()
     md = dict(meta or {})
     md["date"] = datetime.datetime.now().isoformat()
+    if "git" not in md:  # provenance, reference train.py:477 "git" field
+        from yolov3_tpu.utils.general import check_git_info
+
+        md["git"] = check_git_info()
     if spec is not None:
         md["model_yaml"] = spec_to_dict(spec)
     yaml_save(path / "checkpoint.yaml", md)

@@ -9,6 +9,7 @@ check_img_size, Profile timers, TryExcept.
 from __future__ import annotations
 
 import contextlib
+import datetime
 import glob
 import logging
 import math
@@ -307,3 +308,66 @@ def coco80_to_coco91_class():
 def clean_str(s):
     """Sanitize a string to be a safe filename component."""
     return re.sub(pattern="[|@#!¡·$€%&()=?¿^*;:,¨´><+]", repl="_", string=s)
+
+
+def clean_url(url):
+    """Strip auth/query from a URL for display (reference downloads.py usage)."""
+    return re.sub(r"\?.*$", "", str(url)).replace(":@", "://")
+
+
+class WorkingDirectory(contextlib.ContextDecorator):
+    """chdir context manager/decorator (reference: ultralytics.utils.files)."""
+
+    def __init__(self, new_dir):
+        self.dir = new_dir
+
+    def __enter__(self):
+        self.cwd = Path.cwd().resolve()
+        os.chdir(self.dir)
+
+    def __exit__(self, *exc):
+        os.chdir(self.cwd)
+
+
+def file_date(path=__file__):
+    """Human-readable file modification date, e.g. '2026-8-16'
+    (reference: ultralytics.utils.files.file_date)."""
+    t = datetime.datetime.fromtimestamp(Path(path).stat().st_mtime)
+    return f"{t.year}-{t.month}-{t.day}"
+
+
+def check_git_info(path="."):
+    """{remote, branch, commit} of a git repo, or Nones outside one — recorded
+    into training checkpoints (reference train.py:477 'git' field)."""
+    import subprocess
+
+    def _git(*args):
+        try:
+            r = subprocess.run(
+                ["git", "-C", str(path), *args], capture_output=True, text=True, timeout=5
+            )
+            return r.stdout.strip() or None if r.returncode == 0 else None
+        except (OSError, subprocess.TimeoutExpired):
+            return None
+
+    return {
+        "remote": _git("config", "--get", "remote.origin.url"),
+        "branch": _git("rev-parse", "--abbrev-ref", "HEAD"),
+        "commit": _git("rev-parse", "--short", "HEAD"),
+    }
+
+
+def check_font(font="Arial.ttf"):
+    """Resolve a font file locally; the reference downloads from a release
+    asset (general.py check_font) — zero-egress here, so resolve from the
+    matplotlib bundle or return None (plots fall back to cv2 Hershey)."""
+    p = Path(font)
+    if p.exists():
+        return p
+    try:
+        import matplotlib
+
+        cand = sorted(Path(matplotlib.get_data_path()).rglob("DejaVuSans.ttf"))
+        return cand[0] if cand else None
+    except Exception:  # noqa: BLE001
+        return None
