@@ -202,13 +202,14 @@ def run(
 
     if save_json and jdict:
         pred_json = Path(save_dir) / "predictions.json"
+        pred_json.parent.mkdir(parents=True, exist_ok=True)
         with open(pred_json, "w") as f:
             json.dump(jdict, f)
         LOGGER.info(f"COCO JSON saved to {pred_json}")
         try:
             map_, map50 = _coco_eval(pred_json, data)
         except Exception as e:  # noqa: BLE001
-            LOGGER.warning(f"pycocotools eval not run: {e}")
+            LOGGER.warning(f"COCO eval not run: {e}")
 
     losses = tuple(loss_sum / max(n_batches, 1))
     maps = np.zeros(nc) + map_
@@ -292,12 +293,19 @@ def _append_coco_json(jdict, pred, path, class_map):
 
 
 def _coco_eval(pred_json, data):
-    """Official COCOeval if pycocotools + annotations are available."""
-    from pycocotools.coco import COCO
-    from pycocotools.cocoeval import COCOeval
-
+    """COCO-JSON eval: official pycocotools when importable (reference
+    val.py:454-479), otherwise the in-tree pycocotools-semantics evaluator
+    (eval/cocoeval.py) — the eval is never silently skipped."""
     data_dict = check_dataset(data) if not isinstance(data, dict) else data
     anno_json = str(Path(data_dict["path"]) / "annotations" / "instances_val2017.json")
+    try:
+        from pycocotools.coco import COCO
+        from pycocotools.cocoeval import COCOeval
+    except ImportError:
+        from yolov3_tpu.eval.cocoeval import evaluate_coco_json
+
+        LOGGER.info("pycocotools not installed — using the in-tree COCO bbox evaluator")
+        return evaluate_coco_json(anno_json, str(pred_json))
     anno = COCO(anno_json)
     pred = anno.loadRes(str(pred_json))
     ev = COCOeval(anno, pred, "bbox")

@@ -288,6 +288,7 @@ def non_max_suppression(
     in-tree analog of torchvision's C++ NMS kernel, reference general.py:733),
     or "auto" — native for host-resident numpy predictions (CPU serving
     backends, where an XLA compile per shape is wasted), XLA otherwise.
+    merge-NMS always runs on the XLA path (no native implementation).
     """
     if isinstance(prediction, (list, tuple)):
         prediction = prediction[0]
