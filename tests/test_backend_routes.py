@@ -69,6 +69,25 @@ def test_missing_metadata_fails_loud(stablehlo_artifact, tmp_path):
         MultiBackend(orphan)
 
 
+def test_tflite_int8_ptq(synth_data, tmp_path):
+    """--int8 TFLite PTQ calibrated on the dataset (reference export.py:667,798
+    int8 surface) converts and still detects through MultiBackend val."""
+    tf = pytest.importorskip("tensorflow")  # noqa: F841
+    from yolov3_tpu.eval import validator
+
+    res = export_mod.run(
+        "yolov3-tiny", include=("tflite",), imgsz=96, batch=4,
+        out_dir=tmp_path / "export_i8", int8=True, data=synth_data,
+    )
+    art = res["tflite"]
+    assert art is not None and "int8" in str(art)
+    # quantized flatbuffer should be markedly smaller than the ~35 MB float one
+    assert Path(art).stat().st_size < 15e6
+    backend = MultiBackend(art, imgsz=96)
+    results, _, _ = validator.run(synth_data, model=backend, batch_size=4, imgsz=96, rect=False)
+    assert len(results) == 7 and np.isfinite(results[3])
+
+
 def test_benchmarks_table(synth_data, tmp_path, monkeypatch):
     """benchmarks exercises export -> MultiBackend -> val for >=3 formats."""
     from yolov3_tpu.cli import benchmarks

@@ -124,16 +124,67 @@ def export_savedmodel(model, file, imgsz=640, batch=1, include_nms=False):
     return out
 
 
+def _calibration_batches(imgsz, batch, data=None, n=32, stride=32):
+    """Yield uint8 NHWC calibration batches for post-training quantization.
+
+    With a dataset YAML, letterboxes real val images (the reference calibrates
+    its OpenVINO INT8 export on the dataset the same way, export.py:295-339);
+    without one, falls back to random uint8 (calibration quality warning logged).
+    """
+    import cv2
+
+    imgs = []
+    if data is not None:
+        from yolov3_tpu.data.augment import letterbox
+        from yolov3_tpu.data.dataset_yaml import check_dataset
+        from yolov3_tpu.data.datasets import list_images
+
+        d = check_dataset(data)
+        files = list_images(d.get("val") or d["train"])[: n * batch]
+        for f in files:
+            im = cv2.imread(str(f))
+            if im is None:
+                continue
+            im = letterbox(im, imgsz, stride=stride, auto=False)[0]
+            imgs.append(im[:, :, ::-1])  # BGR -> RGB
+    if not imgs:
+        if data is not None:
+            LOGGER.warning("int8 calibration: no readable images found; using random data")
+        else:
+            LOGGER.warning("int8 calibration on random data — pass a dataset YAML for representative ranges")
+        rng = np.random.default_rng(0)
+        imgs = [rng.integers(0, 255, (imgsz, imgsz, 3), dtype=np.uint8) for _ in range(n * batch)]
+    for i in range(0, max(len(imgs) - batch + 1, 1), batch):
+        chunk = imgs[i : i + batch]
+        while len(chunk) < batch:
+            chunk.append(chunk[-1])
+        yield np.ascontiguousarray(np.stack(chunk).astype(np.uint8))
+
+
 @try_export
-def export_tflite(model, file, imgsz=640, batch=1, include_nms=False):
-    """TFLite flatbuffer via the SavedModel path (requires tensorflow)."""
+def export_tflite(model, file, imgsz=640, batch=1, include_nms=False, int8=False, data=None):
+    """TFLite flatbuffer via the SavedModel path (requires tensorflow).
+
+    int8=True applies post-training quantization calibrated on `data`
+    (reference export.py:667,798 exposes the same --int8/--data surface for its
+    OpenVINO/CoreML quantized exports); ops without int8 kernels fall back to
+    float, so the artifact always converts.
+    """
     import tensorflow as tf
 
     sm = export_savedmodel(model, file, imgsz, batch, include_nms)
     assert sm is not None, "savedmodel export failed"
     converter = tf.lite.TFLiteConverter.from_saved_model(str(sm))
     converter.target_spec.supported_ops = [tf.lite.OpsSet.TFLITE_BUILTINS, tf.lite.OpsSet.SELECT_TF_OPS]
-    out = Path(file).with_suffix(".tflite")
+    suffix = ".tflite"
+    if int8:
+        converter.optimizations = [tf.lite.Optimize.DEFAULT]
+        converter.representative_dataset = lambda: (
+            [b] for b in _calibration_batches(imgsz, batch, data, stride=int(model.stride))
+        )
+        suffix = "-int8.tflite"
+    out = Path(file).with_suffix("")
+    out = out.parent / (out.name + suffix)
     out.write_bytes(converter.convert())
     _write_metadata(out, model, imgsz)
     return out
@@ -159,7 +210,7 @@ def export_onnx(model, file, imgsz=640, batch=1):
 
 
 def run(weights="yolov3-tiny", include=("checkpoint", "stablehlo"), imgsz=640, batch=1, nms=False,
-        out_dir="runs/export"):
+        out_dir="runs/export", int8=False, data=None):
     """Export a model to the requested formats; returns {format: path|None}."""
     from yolov3_tpu.cli.val import load_weights
 
@@ -174,7 +225,7 @@ def run(weights="yolov3-tiny", include=("checkpoint", "stablehlo"), imgsz=640, b
             "checkpoint": lambda: export_checkpoint(model, base, imgsz),
             "stablehlo": lambda: export_stablehlo(model, base, imgsz, batch, nms),
             "savedmodel": lambda: export_savedmodel(model, base, imgsz, batch, nms),
-            "tflite": lambda: export_tflite(model, base, imgsz, batch, nms),
+            "tflite": lambda: export_tflite(model, base, imgsz, batch, nms, int8, data),
             "onnx": lambda: export_onnx(model, base, imgsz, batch),
         }[fmt]
         results[fmt] = fn()
@@ -191,8 +242,10 @@ def main():
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--nms", action="store_true", help="embed NMS in the exported graph")
     p.add_argument("--out-dir", default="runs/export")
+    p.add_argument("--int8", action="store_true", help="TFLite INT8 post-training quantization")
+    p.add_argument("--data", default=None, help="dataset YAML for int8 calibration images")
     a = p.parse_args()
-    run(a.weights, a.include, a.imgsz, a.batch, a.nms, a.out_dir)
+    run(a.weights, a.include, a.imgsz, a.batch, a.nms, a.out_dir, a.int8, a.data)
 
 
 if __name__ == "__main__":
