@@ -75,6 +75,30 @@ def test_ema_tracks_params(setup):
     np.testing.assert_allclose(np.asarray(e), np.asarray(p), atol=1e-2)
 
 
+def test_remat_step_matches_plain(setup):
+    """remat=True (jax.checkpoint forward) is a pure memory/FLOPs trade —
+    params, metrics, and batch_stats after one step must match the plain step."""
+    model, step, state = setup
+    imgs, targets, mask = make_batch()
+
+    tx, _, _ = build_optimizer(
+        "sgd", model.params, HYP, epochs=10, steps_per_epoch=10, batch_size=64, min_warmup_steps=0
+    )
+    loss_cfg = LossConfig.from_model(model.spec, HYP)
+    step_r = make_train_step(model.module, loss_cfg, tx, remat=True)
+    # the plain step donates its input state, whose buffers are shared with
+    # model.variables — give the remat step an independent copy
+    state_r = jax.tree.map(jnp.array, init_train_state(model, tx))
+
+    state, metrics = step(state, imgs, targets, mask)
+    state_r, metrics_r = step_r(state_r, imgs, targets, mask)
+    assert np.allclose(float(metrics["loss"]), float(metrics_r["loss"]), rtol=1e-6)
+    flat = jax.tree.leaves(state["params"])
+    flat_r = jax.tree.leaves(state_r["params"])
+    for a, b in zip(flat, flat_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
 def test_warmup_schedules():
     sch = build_schedules(
         {"lr0": 0.01, "lrf": 0.01, "warmup_epochs": 2.0, "warmup_momentum": 0.8, "momentum": 0.937,

@@ -32,6 +32,8 @@ def parse_opt(known=False):
     parser.add_argument("--single-cls", action="store_true")
     parser.add_argument("--optimizer", type=str, choices=["sgd", "adam", "adamw", "rmsprop"], default="sgd")
     parser.add_argument("--quad", action="store_true", help="quad collate: 4 images stitched per sample")
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize activations in backward (fit ~2x batch per chip)")
     parser.add_argument("--workers", type=int, default=2, help="dataloader decode threads")
     parser.add_argument("--cache", type=str, nargs="?", const="ram", default=None,
                         choices=["ram", "disk"], help="cache pre-resized images")
@@ -125,6 +127,7 @@ def main(opt=None):
         quad=opt.quad,
         workers=opt.workers,
         cache_images=opt.cache,
+        remat=opt.remat,
     )
 
 

@@ -69,6 +69,7 @@ def train(
     quad=False,
     workers=2,
     cache_images=None,
+    remat=False,
 ):
     """Train a detection model. Returns (best_fitness, results, save_dir)."""
     callbacks = callbacks or Callbacks()
@@ -168,7 +169,8 @@ def train(
             f"batch {eff_batch} not divisible by {n_dev} devices — using a {n_use}-device mesh"
         )
     mesh = create_mesh(jax.devices()[:n_use])
-    step_fn = make_train_step(model.module, loss_cfg, tx, mesh=mesh, loss_scale=4.0 if quad else 1.0)
+    step_fn = make_train_step(model.module, loss_cfg, tx, mesh=mesh, loss_scale=4.0 if quad else 1.0,
+                              remat=remat)
     state = init_train_state(model, tx, loss_cfg=loss_cfg)
     if resume:
         last = Path(save_dir) / "weights" / "last"

@@ -37,26 +37,35 @@ def normalize_images(imgs):
     return imgs.astype(jnp.float32) / 255.0
 
 
-def make_train_step(module, loss_cfg: LossConfig, tx, mesh=None, ema_decay=0.9999, loss_scale=1.0):
+def make_train_step(module, loss_cfg: LossConfig, tx, mesh=None, ema_decay=0.9999, loss_scale=1.0,
+                    remat=False):
     """Build the jitted train step.
 
     State pytree: {params, batch_stats, opt, ema:{ema, updates}, step}.
     Returns step_fn(state, imgs_u8, targets, mask) -> (state, metrics).
     `loss_scale`: total-loss multiplier — 4.0 in quad mode (the quad collate
     quarters the batch dim the loss is scaled by; reference train.py:407-408).
+    `remat`: rematerialize the forward in the backward pass (jax.checkpoint) —
+    trades ~1/3 more FLOPs for not keeping the activation pyramid live,
+    enabling ~2x larger per-chip batches at 640 (the reference has no analog;
+    its memory lever is AMP + smaller batches).
     """
 
     autobalance = loss_cfg.autobalance
     ssi = loss_cfg.strides.index(16) if (autobalance and 16 in loss_cfg.strides) else 0
+
+    def apply_fn(params, batch_stats, x):
+        return module.apply({"params": params, "batch_stats": batch_stats}, x, train=True, mutable=["batch_stats"])
+
+    if remat:
+        apply_fn = jax.checkpoint(apply_fn)
 
     def train_step(state, imgs, targets, mask):
         x = normalize_images(imgs)
         balance = state.get("balance") if autobalance else None
 
         def loss_fn(params):
-            feats, mut = module.apply(
-                {"params": params, "batch_stats": state["batch_stats"]}, x, train=True, mutable=["batch_stats"]
-            )
+            feats, mut = apply_fn(params, state["batch_stats"], x)
             loss, comps, obj_pl = compute_loss(
                 list(feats), targets, mask, loss_cfg, balance=balance, return_per_layer_obj=True
             )
