@@ -84,6 +84,39 @@ def test_multibackend_roundtrip(micro_model, tmp_path, rng):
     np.testing.assert_allclose(pred, pred2, atol=2e-2)  # bf16 native vs f32 hlo
 
 
+def test_microbatcher_coalesces_and_matches(micro_model, rng):
+    """Concurrent submits coalesce into fewer device calls, and every caller
+    gets the same rows a standalone batched call would give it."""
+    from yolov3_tpu.serve import MicroBatcher, build_batched_infer
+
+    infer = build_batched_infer(micro_model, conf_thres=1e-4, fast=False)
+    b = MicroBatcher(infer, max_batch=8, batch_wait_ms=500.0)
+    b.warmup(64)
+    assert b.buckets == [1, 2, 4, 8]
+
+    ims = [np.ascontiguousarray(x) for x in rng.integers(0, 255, (6, 64, 64, 3), dtype=np.uint8)]
+    results = [None] * len(ims)
+
+    def worker(i):
+        results[i] = b.submit(ims[i])
+
+    calls0 = b.calls
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(len(ims))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert all(r is not None for r in results)
+    # 6 concurrent requests with a 500 ms window must not take 6 device calls
+    assert b.calls - calls0 < len(ims)
+    # row-level parity with a direct batched call
+    dets_ref, n_ref = infer(np.stack(ims))
+    dets_ref, n_ref = np.asarray(dets_ref), np.asarray(n_ref)
+    for i, (dets, n) in enumerate(results):
+        assert n == int(n_ref[i])
+        np.testing.assert_allclose(dets, dets_ref[i, :n], rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.slow  # server warmup compile can exceed the wait on a loaded 1-core box
 def test_serve_roundtrip(micro_model, tmp_path, rng):
     import cv2

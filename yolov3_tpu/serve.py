@@ -1,4 +1,4 @@
-"""Minimal HTTP inference server + client — the serving-backend analog.
+"""HTTP inference server + client — the serving-backend analog.
 
 The reference integrates a Triton gRPC/HTTP client (utils/triton.py:11-84)
 for remote inference. The TPU-native equivalent: serve the jitted
@@ -15,13 +15,23 @@ forward+decode+NMS pipeline behind a stdlib HTTP endpoint, and provide a
 
 Protocol: POST /predict with a JPEG/PNG body (or raw npy) -> JSON
 {detections: [[x1,y1,x2,y2,conf,cls], ...], names: {...}, speed_ms: float}.
-GET /health -> model metadata.
+GET /health -> model metadata + serving stats.
+
+**Micro-batching** (Triton's dynamic-batching analog, on by default): request
+threads enqueue letterboxed frames; a single dispatcher thread coalesces up to
+`max_batch` requests (waiting at most `batch_wait_ms` after the first), pads
+to a power-of-two bucket, and runs ONE jitted batched call on the fused
+bf16 fast path (top-k decode + Pallas NMS — the bench pipeline,
+equivalence-tested in tests/test_fused_decode.py). Batched execution is what
+makes a TPU serve at chip rate: batch-1 calls leave the MXU ~90% idle.
 """
 
 from __future__ import annotations
 
 import io
 import json
+import queue
+import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -30,47 +40,157 @@ import numpy as np
 from yolov3_tpu.utils.general import LOGGER
 
 
-def build_pipeline(model, imgsz=640, conf_thres=0.25, iou_thres=0.45, max_det=300):
+def build_batched_infer(model, conf_thres=0.25, iou_thres=0.45, max_det=300, fast=True):
+    """Jitted (variables, (B,H,W,3) uint8) -> ((B,max_det,6) dets, (B,) n).
+
+    fast=True uses the bench serving path: BN-folded bf16 forward + fused
+    per-scale top-k decode + Pallas NMS (equivalence-tested against the full
+    pipeline). fast=False keeps the reference-parity full decode + batched NMS.
+    """
     import jax
     import jax.numpy as jnp
 
-    from yolov3_tpu.data.augment import letterbox
-    from yolov3_tpu.models.detect_head import decode_predictions
-    from yolov3_tpu.ops.boxes import scale_boxes
-    from yolov3_tpu.ops.nms import batched_nms
+    from yolov3_tpu.models.detect_head import decode_predictions, decode_topk_nhwc
+    from yolov3_tpu.models.detection import cast_variables_for_inference
+    from yolov3_tpu.ops.nms import batched_nms, nms_from_candidates
 
-    module, anchors, strides = model.module, model.anchors_px, model.spec.strides
+    if fast:
+        model = model.fuse()
+        model = model.replace_variables(cast_variables_for_inference(model.variables))
+        module = model.serving_module()
+    else:
+        module = model.module
+    anchors, strides = model.anchors_px, model.spec.strides
+    variables = model.variables
+    use_pallas = jax.default_backend() == "tpu"  # Pallas kernels don't lower on CPU
 
     @jax.jit
-    def infer(variables, imgs_u8):
+    def infer(imgs_u8):
+        if fast:
+            x = imgs_u8.astype(jnp.bfloat16) / 255.0
+            feats = module.apply(variables, x, train=False)
+            boxes, scores, cls_ids = decode_topk_nhwc(
+                feats, anchors, strides, k_per_scale=(256, 128, 64), conf_thres=conf_thres
+            )
+            return nms_from_candidates(
+                boxes, scores, cls_ids, iou_thres=iou_thres, max_det=max_det, use_pallas=use_pallas
+            )
         x = imgs_u8.astype(jnp.float32) / 255.0
         feats = module.apply(variables, x, train=False)
         pred = decode_predictions(feats, anchors, strides)
         return batched_nms(pred, conf_thres=conf_thres, iou_thres=iou_thres, max_det=max_det, max_nms=8192)
 
+    return infer
+
+
+class MicroBatcher:
+    """Dynamic request batching: coalesce concurrent predicts into one device call.
+
+    Requests arriving within `batch_wait_ms` of the first queued item are
+    stacked (up to `max_batch`), padded to the next power-of-two bucket so XLA
+    compiles at most log2(max_batch)+1 programs, executed once, and the rows
+    are scattered back to the waiting request threads.
+    """
+
+    def __init__(self, infer, max_batch=8, batch_wait_ms=5.0):
+        assert max_batch >= 1
+        self.infer = infer
+        self.max_batch = max_batch
+        self.wait_s = batch_wait_ms / 1e3
+        self.buckets = []
+        b = 1
+        while b < max_batch:
+            self.buckets.append(b)
+            b *= 2
+        self.buckets.append(max_batch)
+        self.q = queue.Queue()
+        self.calls = 0
+        self.requests = 0
+        self._thread = threading.Thread(target=self._loop, daemon=True, name="microbatcher")
+        self._thread.start()
+
+    def warmup(self, imgsz):
+        """Compile every bucket up front (serving must not hitch on first use)."""
+        for b in self.buckets:
+            z = np.zeros((b, imgsz, imgsz, 3), np.uint8)
+            dets, n = self.infer(z)
+            np.asarray(dets), np.asarray(n)
+
+    def submit(self, im):
+        """Blocking: letterboxed HWC uint8 -> ((max_det, 6) dets ndarray, n)."""
+        slot, ev = {}, threading.Event()
+        self.q.put((im, slot, ev))
+        ev.wait()
+        if "err" in slot:
+            raise slot["err"]
+        return slot["dets"], slot["n"]
+
+    def _loop(self):
+        while True:
+            items = [self.q.get()]
+            deadline = time.perf_counter() + self.wait_s
+            while len(items) < self.max_batch:
+                left = deadline - time.perf_counter()
+                if left <= 0:
+                    break
+                try:
+                    items.append(self.q.get(timeout=left))
+                except queue.Empty:
+                    break
+            bucket = next(b for b in self.buckets if b >= len(items))
+            batch = np.stack([it[0] for it in items] + [items[-1][0]] * (bucket - len(items)))
+            try:
+                dets, n = self.infer(batch)
+                dets, n = np.asarray(dets), np.asarray(n)
+            except Exception as e:  # noqa: BLE001 — fail every waiter, not the server
+                for _, slot, ev in items:
+                    slot["err"] = e
+                    ev.set()
+                continue
+            self.calls += 1
+            self.requests += len(items)
+            for i, (_, slot, ev) in enumerate(items):
+                slot["dets"] = dets[i, : int(n[i])].astype(np.float32)
+                slot["n"] = int(n[i])
+                ev.set()
+
+
+def build_pipeline(model, imgsz=640, conf_thres=0.25, iou_thres=0.45, max_det=300,
+                   max_batch=1, batch_wait_ms=5.0, fast=False):
+    """Single-image predict fn (letterbox -> [micro-batched] infer -> scale back)."""
+    from yolov3_tpu.data.augment import letterbox
+    from yolov3_tpu.ops.boxes import scale_boxes
+
+    infer = build_batched_infer(model, conf_thres, iou_thres, max_det, fast=fast)
+    batcher = MicroBatcher(infer, max_batch=max_batch, batch_wait_ms=batch_wait_ms)
+
     def predict(im_bgr):
         h0, w0 = im_bgr.shape[:2]
         im = letterbox(im_bgr, imgsz, auto=False)[0][:, :, ::-1]  # RGB
-        dets, n = infer(model.variables, np.ascontiguousarray(im)[None])
-        dets = np.asarray(dets)[0, : int(np.asarray(n)[0])]
+        dets, _n = batcher.submit(np.ascontiguousarray(im))
         if len(dets):
             dets[:, :4] = np.asarray(scale_boxes((imgsz, imgsz), dets[:, :4], (h0, w0)))
         return dets
 
+    predict.batcher = batcher
     return predict
 
 
-def serve(weights, host="0.0.0.0", port=8507, imgsz=640, conf_thres=0.25, iou_thres=0.45):
+def serve(weights, host="0.0.0.0", port=8507, imgsz=640, conf_thres=0.25, iou_thres=0.45,
+          max_batch=8, batch_wait_ms=5.0, fast=True):
     import cv2
 
     from yolov3_tpu.cli.val import load_weights
 
     model = load_weights(weights)
-    predict = build_pipeline(model, imgsz, conf_thres, iou_thres)
+    predict = build_pipeline(model, imgsz, conf_thres, iou_thres,
+                             max_batch=max_batch, batch_wait_ms=batch_wait_ms, fast=fast)
     names = {int(k): v for k, v in model.names.items()}
-    # warmup compile
-    predict(np.zeros((imgsz, imgsz, 3), np.uint8))
-    LOGGER.info(f"model {model.spec.name} ready; serving on {host}:{port}")
+    predict.batcher.warmup(imgsz)  # compile every batch bucket up front
+    LOGGER.info(
+        f"model {model.spec.name} ready; serving on {host}:{port} "
+        f"(micro-batching: max_batch={max_batch}, wait={batch_wait_ms}ms, buckets={predict.batcher.buckets})"
+    )
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):
@@ -86,7 +206,12 @@ def serve(weights, host="0.0.0.0", port=8507, imgsz=640, conf_thres=0.25, iou_th
 
         def do_GET(self):
             if self.path == "/health":
-                self._json(200, {"model": model.spec.name, "imgsz": imgsz, "names": names, "status": "ok"})
+                b = predict.batcher
+                self._json(200, {
+                    "model": model.spec.name, "imgsz": imgsz, "names": names, "status": "ok",
+                    "batching": {"max_batch": b.max_batch, "device_calls": b.calls,
+                                 "requests": b.requests},
+                })
             else:
                 self._json(404, {"error": "unknown path; use GET /health or POST /predict"})
 
@@ -153,8 +278,12 @@ def main():
     p.add_argument("--imgsz", type=int, default=640)
     p.add_argument("--conf-thres", type=float, default=0.25)
     p.add_argument("--iou-thres", type=float, default=0.45)
+    p.add_argument("--max-batch", type=int, default=8, help="micro-batching: max coalesced requests per device call")
+    p.add_argument("--batch-wait-ms", type=float, default=5.0, help="micro-batching: wait after first queued request")
+    p.add_argument("--no-fast", action="store_true", help="use the full-parity pipeline instead of the fused bf16 fast path")
     a = p.parse_args()
-    serve(a.weights, a.host, a.port, a.imgsz, a.conf_thres, a.iou_thres)
+    serve(a.weights, a.host, a.port, a.imgsz, a.conf_thres, a.iou_thres,
+          a.max_batch, a.batch_wait_ms, fast=not a.no_fast)
 
 
 if __name__ == "__main__":
