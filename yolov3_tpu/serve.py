@@ -40,12 +40,15 @@ import numpy as np
 from yolov3_tpu.utils.general import LOGGER
 
 
-def build_batched_infer(model, conf_thres=0.25, iou_thres=0.45, max_det=300, fast=True):
-    """Jitted (variables, (B,H,W,3) uint8) -> ((B,max_det,6) dets, (B,) n).
+def build_batched_infer(model, conf_thres=0.25, iou_thres=0.45, max_det=300, fast=True, mesh=None):
+    """Jitted ((B,H,W,3) uint8) -> ((B,max_det,6) dets, (B,) n).
 
     fast=True uses the bench serving path: BN-folded bf16 forward + fused
     per-scale top-k decode + Pallas NMS (equivalence-tested against the full
     pipeline). fast=False keeps the reference-parity full decode + batched NMS.
+    With a `mesh`, the batch dim is sharded over the mesh's data axis —
+    data-parallel serving over every chip in the slice (B must be a multiple
+    of the device count; the MicroBatcher aligns its buckets to that).
     """
     import jax
     import jax.numpy as jnp
@@ -62,10 +65,11 @@ def build_batched_infer(model, conf_thres=0.25, iou_thres=0.45, max_det=300, fas
         module = model.module
     anchors, strides = model.anchors_px, model.spec.strides
     variables = model.variables
-    use_pallas = jax.default_backend() == "tpu"  # Pallas kernels don't lower on CPU
+    # Pallas kernels don't lower on CPU, and don't auto-partition under GSPMD —
+    # sharded serving uses the (equivalent) XLA NMS loop instead
+    use_pallas = jax.default_backend() == "tpu" and mesh is None
 
-    @jax.jit
-    def infer(imgs_u8):
+    def infer_fn(imgs_u8):
         if fast:
             x = imgs_u8.astype(jnp.bfloat16) / 255.0
             feats = module.apply(variables, x, train=False)
@@ -80,7 +84,13 @@ def build_batched_infer(model, conf_thres=0.25, iou_thres=0.45, max_det=300, fas
         pred = decode_predictions(feats, anchors, strides)
         return batched_nms(pred, conf_thres=conf_thres, iou_thres=iou_thres, max_det=max_det, max_nms=8192)
 
-    return infer
+    if mesh is None:
+        return jax.jit(infer_fn)
+    from yolov3_tpu.parallel.mesh import batch_sharding
+
+    data = batch_sharding(mesh)
+    # both outputs (dets (B,max_det,6), n (B,)) keep the sharded batch dim
+    return jax.jit(infer_fn, in_shardings=data, out_shardings=data)
 
 
 class MicroBatcher:
@@ -92,17 +102,19 @@ class MicroBatcher:
     are scattered back to the waiting request threads.
     """
 
-    def __init__(self, infer, max_batch=8, batch_wait_ms=5.0):
-        assert max_batch >= 1
+    def __init__(self, infer, max_batch=8, batch_wait_ms=5.0, min_bucket=1):
+        assert 1 <= min_bucket <= max_batch
         self.infer = infer
-        self.max_batch = max_batch
         self.wait_s = batch_wait_ms / 1e3
         self.buckets = []
-        b = 1
+        b = min_bucket  # sharded serving: smallest bucket = device count
         while b < max_batch:
             self.buckets.append(b)
             b *= 2
-        self.buckets.append(max_batch)
+        # top bucket: max_batch itself, unless that would break the
+        # divisible-by-min_bucket invariant sharded serving needs
+        self.buckets.append(max_batch if max_batch % min_bucket == 0 else b)
+        self.max_batch = self.buckets[-1]
         self.q = queue.Queue()
         self.calls = 0
         self.requests = 0
@@ -156,13 +168,25 @@ class MicroBatcher:
 
 
 def build_pipeline(model, imgsz=640, conf_thres=0.25, iou_thres=0.45, max_det=300,
-                   max_batch=1, batch_wait_ms=5.0, fast=False):
-    """Single-image predict fn (letterbox -> [micro-batched] infer -> scale back)."""
+                   max_batch=1, batch_wait_ms=5.0, fast=False, shard=False):
+    """Single-image predict fn (letterbox -> [micro-batched] infer -> scale back).
+
+    shard=True: data-parallel serving — the batched call is pjit-sharded over
+    every local device; micro-batch buckets align to the device count.
+    """
     from yolov3_tpu.data.augment import letterbox
     from yolov3_tpu.ops.boxes import scale_boxes
 
-    infer = build_batched_infer(model, conf_thres, iou_thres, max_det, fast=fast)
-    batcher = MicroBatcher(infer, max_batch=max_batch, batch_wait_ms=batch_wait_ms)
+    mesh = None
+    min_bucket = 1
+    if shard:
+        from yolov3_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh()
+        min_bucket = mesh.devices.size
+    infer = build_batched_infer(model, conf_thres, iou_thres, max_det, fast=fast, mesh=mesh)
+    batcher = MicroBatcher(infer, max_batch=max(max_batch, min_bucket),
+                           batch_wait_ms=batch_wait_ms, min_bucket=min_bucket)
 
     def predict(im_bgr):
         h0, w0 = im_bgr.shape[:2]
@@ -177,14 +201,15 @@ def build_pipeline(model, imgsz=640, conf_thres=0.25, iou_thres=0.45, max_det=30
 
 
 def serve(weights, host="0.0.0.0", port=8507, imgsz=640, conf_thres=0.25, iou_thres=0.45,
-          max_batch=8, batch_wait_ms=5.0, fast=True):
+          max_batch=8, batch_wait_ms=5.0, fast=True, shard=False):
     import cv2
 
     from yolov3_tpu.cli.val import load_weights
 
     model = load_weights(weights)
     predict = build_pipeline(model, imgsz, conf_thres, iou_thres,
-                             max_batch=max_batch, batch_wait_ms=batch_wait_ms, fast=fast)
+                             max_batch=max_batch, batch_wait_ms=batch_wait_ms, fast=fast,
+                             shard=shard)
     names = {int(k): v for k, v in model.names.items()}
     predict.batcher.warmup(imgsz)  # compile every batch bucket up front
     LOGGER.info(
@@ -281,9 +306,11 @@ def main():
     p.add_argument("--max-batch", type=int, default=8, help="micro-batching: max coalesced requests per device call")
     p.add_argument("--batch-wait-ms", type=float, default=5.0, help="micro-batching: wait after first queued request")
     p.add_argument("--no-fast", action="store_true", help="use the full-parity pipeline instead of the fused bf16 fast path")
+    p.add_argument("--shard", action="store_true",
+                   help="data-parallel serving: shard each batched call over all local devices")
     a = p.parse_args()
     serve(a.weights, a.host, a.port, a.imgsz, a.conf_thres, a.iou_thres,
-          a.max_batch, a.batch_wait_ms, fast=not a.no_fast)
+          a.max_batch, a.batch_wait_ms, fast=not a.no_fast, shard=a.shard)
 
 
 if __name__ == "__main__":
