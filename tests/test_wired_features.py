@@ -155,6 +155,83 @@ def test_training_emits_logger_artifacts(ds_root, tmp_path):
         assert expected in produced, f"{expected} missing; got {sorted(produced)}"
 
 
+MICRO_CFG = {
+    "nc": 2,
+    "anchors": [[12, 12, 20, 20, 32, 32], [48, 48, 64, 64, 96, 96]],
+    "layers": [{"from": -1, "n": 1, "op": "Conv", "args": [8, 3, 2]},
+               {"from": -1, "n": 1, "op": "Conv", "args": [16, 3, 2]},
+               {"from": -1, "n": 1, "op": "Conv", "args": [16, 3, 2]},
+               {"from": -1, "n": 1, "op": "Conv", "args": [32, 3, 2]},
+               {"from": -1, "n": 1, "op": "Conv", "args": [32, 3, 2]},
+               {"from": [3, 4], "n": 1, "op": "Detect", "args": ["nc", "anchors"]}],
+}
+
+
+def test_val_save_hybrid_txt_conf(ds_root, tmp_path):
+    """--save-hybrid injects GT as perfect-confidence NMS candidates (reference
+    val.py:374): a random-weights model detects nothing at conf .25 without it,
+    and detects every label with it; --save-txt/--save-conf write the rows."""
+    from yolov3_tpu.eval import validator
+    from yolov3_tpu.models.detection import DetectionModel
+
+    data = {"path": str(Path(ds_root).parents[1]), "train": "images/train",
+            "val": "images/train", "names": {0: "a", 1: "b"}}
+    model = DetectionModel.from_config(MICRO_CFG, imgsz=64)
+
+    d_plain = tmp_path / "plain"
+    validator.run(data, model=model, batch_size=4, imgsz=64, rect=False, conf_thres=0.25,
+                  save_txt=True, save_dir=d_plain)
+    plain_rows = [ln for f in (d_plain / "labels").glob("*.txt") for ln in f.read_text().splitlines()]
+    assert plain_rows == []  # random init at conf .25 -> no detections
+
+    d_hyb = tmp_path / "hybrid"
+    validator.run(data, model=model, batch_size=4, imgsz=64, rect=False, conf_thres=0.25,
+                  save_hybrid=True, save_txt=True, save_conf=True, save_dir=d_hyb)
+    txts = sorted((d_hyb / "labels").glob("*.txt"))
+    assert len(txts) == 8
+    rows = [ln.split() for f in txts for ln in f.read_text().splitlines()]
+    assert len(rows) >= 8  # injected labels survive NMS
+    assert all(len(r) == 6 for r in rows)  # cls xywhn + conf (save_conf)
+    assert any(float(r[5]) > 0.99 for r in rows)  # perfect-confidence injected boxes
+
+
+def test_val_half_bf16(ds_root, tmp_path):
+    """--half runs the val forward in bf16 (reference val.py:196 fp16 analog)."""
+    from yolov3_tpu.eval import validator
+    from yolov3_tpu.models.detection import DetectionModel
+
+    data = {"path": str(Path(ds_root).parents[1]), "train": "images/train",
+            "val": "images/train", "names": {0: "a", 1: "b"}}
+    model = DetectionModel.from_config(MICRO_CFG, imgsz=64)
+    results, _, _ = validator.run(data, model=model, batch_size=4, imgsz=64, rect=False,
+                                  half=True, save_dir=tmp_path)
+    assert all(np.isfinite(v) for v in results)
+
+
+def test_train_rect_noplots_label_smoothing(ds_root, tmp_path):
+    """--rect/--noplots/--label-smoothing/--sync-bn reach the engine: rect run
+    completes on non-square buckets, plots are suppressed, hyp records eps."""
+    import yaml
+
+    from yolov3_tpu.train.loop import train
+
+    data = {"path": str(Path(ds_root).parents[1]), "train": "images/train",
+            "val": "images/train", "names": {0: "a", 1: "b"}}
+    sd = tmp_path / "exp"
+    train(data=data, cfg=MICRO_CFG, epochs=1, batch_size=4, imgsz=64, save_dir=sd,
+          hyp={"lr0": 0.01, "lrf": 0.1, "momentum": 0.9, "weight_decay": 0.0,
+               "warmup_epochs": 0.0, "box": 0.05, "obj": 1.0, "cls": 0.5, "mosaic": 1.0,
+               "fliplr": 0.0, "hsv_h": 0, "hsv_s": 0, "hsv_v": 0, "translate": 0.0,
+               "scale": 0.0, "anchor_t": 4.0},
+          noautoanchor=True, rect=True, noplots=True, label_smoothing=0.05, sync_bn=True)
+    produced = {p.name for p in sd.glob("*")}
+    assert "results.csv" in produced
+    for banned in ("labels.png", "labels_correlogram.jpg", "train_batch0.jpg", "results.png"):
+        assert banned not in produced, f"--noplots leaked {banned}"
+    hyp_saved = yaml.safe_load((sd / "hyp.yaml").read_text())
+    assert hyp_saved["label_smoothing"] == 0.05
+
+
 def test_env_probes_and_unicode_paths(tmp_path):
     """Env probes exist and run; cv2 wrappers handle non-ASCII paths
     (reference utils/general.py:92-155, 869-900)."""

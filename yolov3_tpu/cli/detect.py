@@ -52,6 +52,7 @@ def run(
     hide_conf=False,
     vid_stride=1,
     update=False,
+    half=None,
 ):
     """Run inference over a source; returns the save_dir."""
     import jax
@@ -103,7 +104,9 @@ def run(
             model = DetectionModel.from_config(str(weights), imgsz=64)
         from yolov3_tpu.models.detection import optimize_for_inference
 
-        model = optimize_for_inference(model)
+        # half=None -> bf16 on accelerators, f32 on CPU; --half forces bf16
+        # (reference --half fp16, detect.py:80)
+        model = optimize_for_inference(model, bf16=half)
         stride = int(model.stride)
         names = model.names
         imgsz = check_img_size(list(imgsz) if not isinstance(imgsz, int) else [imgsz] * 2, s=stride)
@@ -275,6 +278,8 @@ def parse_opt():
     parser.add_argument("--hide-conf", default=False, action="store_true")
     parser.add_argument("--vid-stride", type=int, default=1)
     parser.add_argument("--update", action="store_true", help="strip optimizer from checkpoint after run")
+    parser.add_argument("--half", action="store_true", default=None,
+                        help="force bf16 inference (default: bf16 on accelerators, f32 on CPU)")
     opt = parser.parse_args()
     opt.imgsz = opt.imgsz * 2 if len(opt.imgsz) == 1 else opt.imgsz
     print_args(vars(opt))

@@ -34,6 +34,11 @@ def parse_opt(known=False):
     parser.add_argument("--quad", action="store_true", help="quad collate: 4 images stitched per sample")
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize activations in backward (fit ~2x batch per chip)")
+    parser.add_argument("--rect", action="store_true", help="rectangular training (aspect-ratio batches)")
+    parser.add_argument("--noplots", action="store_true", help="save no plot image artifacts")
+    parser.add_argument("--label-smoothing", type=float, default=0.0, help="label smoothing epsilon")
+    parser.add_argument("--sync-bn", action="store_true",
+                        help="accepted for parity; BN stats are global-batch by construction under pjit")
     parser.add_argument("--workers", type=int, default=2, help="dataloader decode threads")
     parser.add_argument("--cache", type=str, nargs="?", const="ram", default=None,
                         choices=["ram", "disk"], help="cache pre-resized images")
@@ -128,6 +133,10 @@ def main(opt=None):
         workers=opt.workers,
         cache_images=opt.cache,
         remat=opt.remat,
+        rect=opt.rect,
+        noplots=opt.noplots,
+        label_smoothing=opt.label_smoothing,
+        sync_bn=opt.sync_bn,
     )
 
 

@@ -43,6 +43,11 @@ def run(
     augment=False,
     verbose=False,
     save_json=False,
+    save_txt=False,
+    save_conf=False,
+    save_hybrid=False,
+    half=False,
+    workers=1,
     project="runs/val",
     name="exp",
     exist_ok=False,
@@ -57,7 +62,8 @@ def run(
             data, model=model, batch_size=batch_size, imgsz=imgsz, conf_thres=conf_thres,
             iou_thres=iou_thres, max_det=max_det, task="val" if task == "speed" else task,
             single_cls=single_cls, augment=augment, verbose=verbose, save_json=save_json,
-            save_dir=save_dir,
+            save_txt=save_txt, save_conf=save_conf, save_hybrid=save_hybrid, half=half,
+            workers=workers, save_dir=save_dir,
         )
         return results, maps, speeds
 
@@ -90,6 +96,12 @@ def parse_opt():
     parser.add_argument("--augment", action="store_true")
     parser.add_argument("--verbose", action="store_true")
     parser.add_argument("--save-json", action="store_true")
+    parser.add_argument("--save-txt", action="store_true", help="save predictions to save_dir/labels/*.txt")
+    parser.add_argument("--save-conf", action="store_true", help="append confidences to --save-txt rows")
+    parser.add_argument("--save-hybrid", action="store_true",
+                        help="inject ground-truth boxes into NMS (hybrid autolabelling)")
+    parser.add_argument("--half", action="store_true", help="bf16 inference (reference --half fp16 analog)")
+    parser.add_argument("--workers", type=int, default=1, help="dataloader decode threads")
     parser.add_argument("--project", default="runs/val")
     parser.add_argument("--name", default="exp")
     parser.add_argument("--exist-ok", action="store_true")

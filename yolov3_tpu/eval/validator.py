@@ -51,15 +51,30 @@ def run(
     max_nms=30000,
     plots=False,
     names=None,
+    save_txt=False,
+    save_conf=False,
+    save_hybrid=False,
+    workers=1,
+    half=False,
 ):
     """Evaluate `model` (a DetectionModel handle OR a MultiBackend wrapping any
     exported artifact — stablehlo/savedmodel/tflite, reference val.py:293 runs
     every DetectMultiBackend format) on `data` (dataset yaml/dict or DataLoader).
 
+    save_txt/save_conf: per-image prediction txt in save_dir/labels (reference
+    val.py:94-103 save_one_txt). save_hybrid: inject ground-truth boxes as
+    perfect-confidence NMS candidates (autolabelling, reference val.py:374,
+    general.py:689-695) — NMS then runs host-side on decoded predictions.
+    half: bf16 inference (the reference's --half fp16 analog, val.py:196).
+
     Returns ((mp, mr, map50, map, *losses), per_class_maps, speeds_ms).
     """
     assert model is not None, "validator requires a DetectionModel or MultiBackend"
     is_native = hasattr(model, "module")
+    if half and is_native:
+        from yolov3_tpu.models.detection import optimize_for_inference
+
+        model = optimize_for_inference(model, bf16=True)
     stride = int(model.stride)
 
     if not is_native:
@@ -79,26 +94,28 @@ def run(
             num_cls=model.spec.nc if is_native else len(model.names),
             single_cls=single_cls,
         )
-        dataloader = DataLoader(dataset, batch_size=batch_size, shuffle=False)
+        dataloader = DataLoader(dataset, batch_size=batch_size, shuffle=False, workers=workers)
     names = names or model.names
     nc = 1 if single_cls else (model.spec.nc if is_native else len(model.names))
 
     iouv = np.linspace(0.5, 0.95, 10)
     niou = iouv.shape[0]
 
-    with_loss = bool(compute_loss_flag and loss_cfg is not None and is_native)
+    nms_iou = 0.45 if task == "speed" else iou_thres
+    with_loss = bool(compute_loss_flag and loss_cfg is not None and is_native and not save_hybrid)
     if is_native:
         forward = _cached_forward(
-            model, conf_thres, 0.45 if task == "speed" else iou_thres, max_det, max_nms,
-            loss_cfg=loss_cfg if with_loss else None, augment=augment,
+            model, conf_thres, nms_iou, max_det, max_nms,
+            loss_cfg=loss_cfg if with_loss else None, augment=augment, decode_only=save_hybrid,
         )
     else:  # MultiBackend: decoded predictions from the artifact, NMS here
-        _iou = 0.45 if task == "speed" else iou_thres
 
         def forward(_vars, imgs_u8):
             pred = model(np.asarray(imgs_u8))
+            if save_hybrid:
+                return pred
             return batched_nms(
-                jax.numpy.asarray(pred), conf_thres=conf_thres, iou_thres=_iou,
+                jax.numpy.asarray(pred), conf_thres=conf_thres, iou_thres=nms_iou,
                 multi_label=True, max_det=max_det, max_nms=max_nms,
             )
 
@@ -116,12 +133,32 @@ def run(
         with dt[0]:
             imgs_dev = jax.device_put(imgs) if is_native else imgs
         with dt[1]:
-            if with_loss:  # loss folded into the same jitted program (no eager re-trace per batch)
+            if save_hybrid:  # apriori label injection -> host NMS (reference val.py:374)
+                from yolov3_tpu.ops.nms import non_max_suppression
+
+                hb, wb = imgs.shape[1:3]
+                gain = np.array([wb, hb, wb, hb], np.float32)
+                lb = [
+                    np.concatenate([t[:, 0:1], t[:, 1:5] * gain], 1) if len(t) else np.zeros((0, 5), np.float32)
+                    for t in (targets[si][mask[si]] for si in range(imgs.shape[0]))
+                ]
+                pred_dec = np.asarray(forward(variables, imgs_dev))
+                dets_list = non_max_suppression(
+                    pred_dec, conf_thres, nms_iou, multi_label=True, labels=lb,
+                    max_det=max_det, max_nms=max_nms,
+                )
+                n_valid = np.array([len(d) for d in dets_list])
+                dets = np.zeros((imgs.shape[0], max_det, 6), np.float32)
+                for si, d in enumerate(dets_list):
+                    dets[si, : len(d)] = d
+            elif with_loss:  # loss folded into the same jitted program (no eager re-trace per batch)
                 dets, n_valid, comps = forward(variables, imgs_dev, targets, mask)
+                dets = np.asarray(jax.block_until_ready(dets))
+                n_valid = np.asarray(n_valid)
             else:
                 dets, n_valid = forward(variables, imgs_dev)
-            dets = np.asarray(jax.block_until_ready(dets))
-            n_valid = np.asarray(n_valid)
+                dets = np.asarray(jax.block_until_ready(dets))
+                n_valid = np.asarray(n_valid)
         if with_loss:
             loss_sum += np.asarray(comps)
             n_batches += 1
@@ -157,6 +194,10 @@ def run(
                 stats.append((correct, pred[:, 4] if len(pred) else np.zeros(0), pred[:, 5] if len(pred) else np.zeros(0), labelsn[:, 0]))
                 if confusion is not None:
                     confusion.process_batch(pred, labelsn)
+                if save_txt or save_conf:
+                    h0w0 = shape_meta[0] if shape_meta is not None else (h, w)
+                    _save_one_txt(pred, Path(save_dir) / "labels",
+                                  Path(dataloader.dataset.im_files[seen - 1]).stem, h0w0, save_conf)
                 if save_json and len(pred):
                     _append_coco_json(jdict, pred, Path(dataloader.dataset.im_files[seen - 1]), class_map)
 
@@ -221,7 +262,23 @@ def run(
 _FORWARD_CACHE = {}
 
 
-def _cached_forward(model, conf_thres, iou_thres, max_det, max_nms, loss_cfg=None, augment=False):
+def _save_one_txt(pred, labels_dir, stem, h0w0, save_conf):
+    """Write one image's predictions as `cls xc yc w h [conf]` normalized to
+    the native image (reference val.py:94-103 save_one_txt)."""
+    from yolov3_tpu.ops.boxes import xyxy2xywh
+
+    labels_dir.mkdir(parents=True, exist_ok=True)
+    gn = np.array([h0w0[1], h0w0[0], h0w0[1], h0w0[0]], np.float32)
+    lines = []
+    for row in pred:  # native-space xyxy conf cls
+        xywh = np.asarray(xyxy2xywh(row[None, :4]))[0] / gn
+        vals = (int(row[5]), *xywh, row[4]) if save_conf else (int(row[5]), *xywh)
+        lines.append(" ".join(f"{v:.6g}" for v in vals))
+    (labels_dir / f"{stem}.txt").write_text("\n".join(lines) + ("\n" if lines else ""))
+
+
+def _cached_forward(model, conf_thres, iou_thres, max_det, max_nms, loss_cfg=None, augment=False,
+                    decode_only=False):
     """Jitted forward+decode+NMS (+ optional val loss / TTA), cached by
     (module, nms params, loss_cfg, augment).
 
@@ -231,7 +288,8 @@ def _cached_forward(model, conf_thres, iou_thres, max_det, max_nms, loss_cfg=Non
     (minutes per compile through a remote-compile TPU runtime). The in-train
     val loss (reference val.py:367-368) runs INSIDE the same program: tracing
     compute_loss eagerly per batch on host numpy was both slow and wasteful."""
-    key = (model.module, float(conf_thres), float(iou_thres), int(max_det), int(max_nms), loss_cfg, augment)
+    key = (model.module, float(conf_thres), float(iou_thres), int(max_det), int(max_nms), loss_cfg, augment,
+           decode_only)
     fn = _FORWARD_CACHE.get(key)
     if fn is None:
         module = model.module
@@ -258,6 +316,11 @@ def _cached_forward(model, conf_thres, iou_thres, max_det, max_nms, loss_cfg=Non
             return dets, n_valid
 
         @jax.jit
+        def forward_decode(variables, imgs_u8):  # save_hybrid: NMS runs on host after label injection
+            x = imgs_u8.astype(jax.numpy.float32) / 255.0
+            return _pred(variables, x)
+
+        @jax.jit
         def forward_with_loss(variables, imgs_u8, targets, tmask):
             x = imgs_u8.astype(jax.numpy.float32) / 255.0
             feats = module.apply(variables, x, train=False)
@@ -271,7 +334,7 @@ def _cached_forward(model, conf_thres, iou_thres, max_det, max_nms, loss_cfg=Non
 
         if len(_FORWARD_CACHE) > 8:
             _FORWARD_CACHE.clear()
-        fn = forward_with_loss if loss_cfg is not None else forward
+        fn = forward_decode if decode_only else (forward_with_loss if loss_cfg is not None else forward)
         _FORWARD_CACHE[key] = fn
     return fn
 

@@ -70,6 +70,10 @@ def train(
     workers=2,
     cache_images=None,
     remat=False,
+    noplots=False,
+    rect=False,
+    label_smoothing=0.0,
+    sync_bn=False,
 ):
     """Train a detection model. Returns (best_fitness, results, save_dir)."""
     callbacks = callbacks or Callbacks()
@@ -82,13 +86,19 @@ def train(
     if isinstance(hyp, (str, Path)):
         hyp = yaml_load(hyp)
     hyp = dict(hyp or yaml_load(Path(__file__).parents[1] / "data" / "hyps" / "scratch-low.yaml"))
+    if label_smoothing:
+        hyp["label_smoothing"] = label_smoothing  # reference train.py --label-smoothing -> hyp
     yaml_save(save_dir / "hyp.yaml", hyp)
+    if sync_bn:
+        # reference train.py:270-272 converts to SyncBatchNorm; under one-program
+        # GSPMD the BN batch statistics are already global-batch — nothing to convert
+        LOGGER.info("--sync-bn: BatchNorm stats are global-batch by construction under pjit (no-op)")
     init_seeds(seed)
     loggers = None
     if jax.process_index() == 0:
         from yolov3_tpu.utils.loggers import Loggers
 
-        loggers = Loggers(save_dir=save_dir, hyp=hyp)
+        loggers = Loggers(save_dir=save_dir, hyp=hyp, plots=not noplots)
         loggers.attach(callbacks)
     callbacks.run("on_pretrain_routine_start")
 
@@ -118,12 +128,19 @@ def train(
         loggers.log_model_graph(model, imgsz=min(imgsz, 256))  # TB graph-trace analog
 
     # datasets
+    if rect:
+        # rect train batches disable mosaic (dataset handles it) and shuffling
+        # (reference dataloaders.py:121 rect+shuffle warning); each aspect-ratio
+        # bucket shape compiles its own XLA program — bounded, but non-trivial
+        # through a remote-compile runtime
+        assert not multi_scale, "--rect and --multi-scale are incompatible"
+        LOGGER.info("rect training: mosaic+shuffle off; one compile per shape bucket")
     train_ds = DetectionDataset(
-        data_dict["train"], imgsz=imgsz, augment=True, hyp=hyp, rect=False, stride=stride,
+        data_dict["train"], imgsz=imgsz, augment=True, hyp=hyp, rect=rect, stride=stride,
         batch_size=batch_size, num_cls=nc, max_labels=max_labels, single_cls=single_cls,
         cache_images=cache_images,
     )
-    train_loader = DataLoader(train_ds, batch_size=batch_size, shuffle=True, max_labels=max_labels,
+    train_loader = DataLoader(train_ds, batch_size=batch_size, shuffle=not rect, max_labels=max_labels,
                               seed=seed, drop_last=True, quad=quad, workers=workers)
     if jax.process_count() > 1:
         train_loader.shard_per_host()
@@ -274,7 +291,7 @@ def train(
             results, maps, _ = validator.run(
                 data_dict, model=ema_model, batch_size=batch_size, imgsz=imgsz,
                 dataloader=val_loader, loss_cfg=loss_cfg, compute_loss_flag=True, names=names,
-                single_cls=single_cls, plots=(epoch == epochs - 1), save_dir=save_dir,
+                single_cls=single_cls, plots=(epoch == epochs - 1) and not noplots, save_dir=save_dir,
             )
             fi = float(np.asarray(fitness(np.array(results).reshape(1, -1))).reshape(-1)[0])
             callbacks.run("on_val_end", epoch=epoch)

@@ -26,10 +26,11 @@ KEYS = (
 class Loggers:
     """Aggregates available logging sinks behind the callback-hook interface."""
 
-    def __init__(self, save_dir=None, opt=None, hyp=None, include=LOGGERS):
+    def __init__(self, save_dir=None, opt=None, hyp=None, include=LOGGERS, plots=True):
         self.save_dir = Path(save_dir or ".")
         self.opt = opt
         self.hyp = hyp
+        self.plots = plots  # --noplots disables image artifacts (reference train.py:177)
         self.keys = KEYS
         self.csv_file = self.save_dir / "results.csv"
         self.tb = None
@@ -113,7 +114,7 @@ class Loggers:
 
     def on_pretrain_routine_end(self, labels=None, names=()):
         """Label statistics plots at train start (reference loggers/__init__.py:112-122)."""
-        if labels is None or not len(labels):
+        if labels is None or not len(labels) or not self.plots:
             return
         try:
             from yolov3_tpu.utils.plots import plot_labels, plot_labels_correlogram
@@ -127,7 +128,7 @@ class Loggers:
 
     def on_train_batch_end(self, ni, imgs=None, targets=None, mask=None):
         """Mosaic the first 3 train batches (reference loggers/__init__.py:124-136)."""
-        if imgs is None or ni >= 3:
+        if imgs is None or ni >= 3 or not self.plots:
             return
         try:
             from yolov3_tpu.utils.plots import plot_images
@@ -154,7 +155,7 @@ class Loggers:
             self.comet.log_other(f"checkpoint_epoch_{epoch}", str(last))
 
     def on_train_end(self, results_csv=None):
-        if results_csv and Path(results_csv).exists():
+        if results_csv and Path(results_csv).exists() and self.plots:
             try:
                 from yolov3_tpu.utils.plots import plot_results
 
