@@ -280,6 +280,7 @@ def parse_opt():
     parser.add_argument("--update", action="store_true", help="strip optimizer from checkpoint after run")
     parser.add_argument("--half", action="store_true", default=None,
                         help="force bf16 inference (default: bf16 on accelerators, f32 on CPU)")
+    parser.add_argument("--device", default="", help="JAX platform, e.g. cpu or tpu (default: auto)")
     opt = parser.parse_args()
     opt.imgsz = opt.imgsz * 2 if len(opt.imgsz) == 1 else opt.imgsz
     print_args(vars(opt))
@@ -288,8 +289,9 @@ def parse_opt():
 
 def main(opt=None):
     opt = opt or parse_opt()
-    from yolov3_tpu.utils.general import enable_compilation_cache
+    from yolov3_tpu.utils.general import enable_compilation_cache, select_device
 
+    select_device(vars(opt).pop("device", None))
     enable_compilation_cache()
     run(**vars(opt))
 

@@ -57,6 +57,7 @@ def parse_opt(known=False):
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--save-period", type=int, default=-1)
     # multi-host
+    parser.add_argument("--device", default="", help="JAX platform, e.g. cpu or tpu (default: auto)")
     parser.add_argument("--coordinator", type=str, default=None, help="host:port of process 0")
     parser.add_argument("--num-processes", type=int, default=None)
     parser.add_argument("--process-id", type=int, default=None)
@@ -65,8 +66,9 @@ def parse_opt(known=False):
 
 def main(opt=None):
     opt = opt or parse_opt()
-    from yolov3_tpu.utils.general import enable_compilation_cache
+    from yolov3_tpu.utils.general import enable_compilation_cache, select_device
 
+    select_device(vars(opt).pop("device", None))
     enable_compilation_cache()
     if opt.num_processes:
         from yolov3_tpu.parallel.mesh import initialize_distributed

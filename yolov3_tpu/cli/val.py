@@ -15,7 +15,6 @@ from pathlib import Path
 
 import numpy as np
 
-from yolov3_tpu.eval import validator
 from yolov3_tpu.utils.general import LOGGER, check_yaml, increment_path, print_args
 
 
@@ -52,6 +51,8 @@ def run(
     name="exp",
     exist_ok=False,
 ):
+    from yolov3_tpu.eval import validator  # deferred: backend init must follow --device
+
     model = load_weights(weights)
     save_dir = increment_path(Path(project) / name, exist_ok=exist_ok, mkdir=True)
 
@@ -102,6 +103,7 @@ def parse_opt():
                         help="inject ground-truth boxes into NMS (hybrid autolabelling)")
     parser.add_argument("--half", action="store_true", help="bf16 inference (reference --half fp16 analog)")
     parser.add_argument("--workers", type=int, default=1, help="dataloader decode threads")
+    parser.add_argument("--device", default="", help="JAX platform, e.g. cpu or tpu (default: auto)")
     parser.add_argument("--project", default="runs/val")
     parser.add_argument("--name", default="exp")
     parser.add_argument("--exist-ok", action="store_true")
@@ -113,8 +115,9 @@ def parse_opt():
 
 def main(opt=None):
     opt = opt or parse_opt()
-    from yolov3_tpu.utils.general import enable_compilation_cache
+    from yolov3_tpu.utils.general import enable_compilation_cache, select_device
 
+    select_device(vars(opt).pop("device", None))
     enable_compilation_cache()
     run(**vars(opt))
 

@@ -27,6 +27,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from yolov3_tpu.ops.boxes import bbox_iou
 
@@ -114,7 +115,9 @@ def bce_blur_with_logits(logits, targets, alpha=0.05):
 
 
 # neighbor offsets: center, left-cell, top-cell, right-cell, bottom-cell (x0.5)
-_OFFSETS = jnp.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [-1.0, 0.0], [0.0, -1.0]]) * 0.5
+# (host constant — a module-level jnp.array would initialize the JAX backend
+# at import time, before CLI --device can pick the platform)
+_OFFSETS = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [-1.0, 0.0], [0.0, -1.0]], np.float32) * 0.5
 
 
 def assign_targets_layer(targets, mask, anchors, ny, nx, anchor_t):

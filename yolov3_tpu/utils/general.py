@@ -167,6 +167,28 @@ def enable_compilation_cache(path=None):
     return path
 
 
+def select_device(device=None):
+    """`--device` analog (reference torch_utils.py:86 selects CUDA ids).
+
+    On JAX the platform is process-global, so this must run before the first
+    backend touch: sets JAX_PLATFORMS (e.g. "cpu", "tpu") and logs what the
+    runtime actually initialized. No-op when `device` is falsy (auto)."""
+    if not device:
+        return
+    os.environ["JAX_PLATFORMS"] = str(device)
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", str(device))
+    except Exception:  # noqa: BLE001 — older config name or already initialized
+        pass
+    backend = jax.default_backend()
+    if backend != str(device).split(",")[0]:
+        LOGGER.warning(f"--device {device}: backend initialized as '{backend}' (set before first JAX use)")
+    else:
+        LOGGER.info(f"device: {backend} x{jax.local_device_count()}")
+
+
 def init_seeds(seed=0, deterministic=False):
     """Seed python/numpy RNGs and return a jax PRNG key.
 
