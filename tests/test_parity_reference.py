@@ -154,6 +154,34 @@ def test_nms_parity(ref_tiny, our_tiny):
         np.testing.assert_array_equal(our_det[:, 5], ref_det[:, 5])
 
 
+def test_tta_parity(ref_tiny, our_tiny):
+    """TTA (--augment) forward parity: reference _forward_augment
+    (yolo.py:239-280: scales [1,.83,.67], lr-flip, descale, tail clip) vs
+    predict_augmented. Bilinear resizes differ slightly between frameworks
+    (F.interpolate vs jax.image.resize), so parity is asserted on the final
+    NMS detections, not elementwise."""
+    from utils.general import non_max_suppression as ref_nms
+
+    img = make_image(1)
+    x = img.astype(np.float32) / 255.0
+    with torch.no_grad():
+        ref_pred = ref_tiny(torch.from_numpy(x.transpose(2, 0, 1)[None]), augment=True)[0].numpy()
+    our_pred = np.asarray(our_tiny.predict_augmented(jnp.asarray(x[None])))
+    assert ref_pred.shape == our_pred.shape  # scales concatenated + tails clipped identically
+
+    # conf 0.1: TTA scale-averaging dilutes this toy model's confidences
+    # (dets at ~.29/.23/.19, next at .016 — no threshold-straddling rows)
+    ref_det = ref_nms(torch.from_numpy(ref_pred), 0.1, 0.45)[0].numpy()
+    our_det = our_nms(our_pred, 0.1, 0.45, max_nms=8192)[0]
+    assert len(ref_det) > 0, "TTA parity test needs non-empty detections"
+    assert len(ref_det) == len(our_det)
+    # residual sub-pixel drift between the two bilinear implementations
+    # (both non-antialiased, half-pixel centers)
+    np.testing.assert_allclose(our_det[:, :4], ref_det[:, :4], atol=0.5)
+    np.testing.assert_allclose(our_det[:, 4], ref_det[:, 4], atol=5e-3)
+    np.testing.assert_array_equal(our_det[:, 5], ref_det[:, 5])
+
+
 def test_map_parity_self_labeled(ref_tiny, our_tiny, tmp_path):
     """End-to-end mAP parity proxy: labels are the REFERENCE model's own
     detections, so its mAP is ~1.0 by construction; the converted model run

@@ -245,7 +245,10 @@ def _scale_img(img, ratio=1.0, gs=32, pad_value=0.447):
 
     b, h, w, c = img.shape
     sh, sw = int(h * ratio), int(w * ratio)
-    img = jax.image.resize(img, (b, sh, sw, c), method="bilinear")
+    # antialias=False: reference scale_img is plain F.interpolate bilinear
+    # (torch_utils.py scale_img, no antialias) — the antialiased default
+    # shifts downscaled-pass activations enough to move TTA confidences
+    img = jax.image.resize(img, (b, sh, sw, c), method="bilinear", antialias=False)
     th, tw = math.ceil(h * ratio / gs) * gs, math.ceil(w * ratio / gs) * gs
     return jnp.pad(img, ((0, 0), (0, th - sh), (0, tw - sw), (0, 0)), constant_values=pad_value)
 
