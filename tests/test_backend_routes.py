@@ -69,6 +69,34 @@ def test_missing_metadata_fails_loud(stablehlo_artifact, tmp_path):
         MultiBackend(orphan)
 
 
+def test_dynamic_batch_stablehlo(tmp_path, monkeypatch):
+    """--dynamic exports a symbolic-batch StableHLO artifact (jax.export shape
+    polymorphism, the reference's ONNX dynamic-axes analog) that serves any
+    batch size through MultiBackend."""
+    art = export_mod.run("yolov3-tiny", include=("stablehlo",), imgsz=96, batch=1,
+                         out_dir=tmp_path / "dyn", dynamic=True)["stablehlo"]
+    assert art is not None
+    backend = MultiBackend(art, imgsz=96)
+    for b in (1, 3, 5):
+        im = np.random.default_rng(b).integers(0, 255, (b, 96, 96, 3), dtype=np.uint8)
+        pred = backend(im)
+        assert pred.shape[0] == b and pred.shape[2] == 85
+
+
+def test_half_export_is_bf16(tmp_path):
+    """--half exports fused bf16 weights: artifact numerics differ from the
+    f32 export but stay close (the reference ships fp16 exports the same way)."""
+    f32 = export_mod.run("yolov3-tiny", include=("stablehlo",), imgsz=96, batch=2,
+                         out_dir=tmp_path / "f32")["stablehlo"]
+    bf16 = export_mod.run("yolov3-tiny", include=("stablehlo",), imgsz=96, batch=2,
+                          out_dir=tmp_path / "bf16", half=True)["stablehlo"]
+    im = np.random.default_rng(0).integers(0, 255, (2, 96, 96, 3), dtype=np.uint8)
+    p32 = MultiBackend(f32, imgsz=96)(im)
+    p16 = MultiBackend(bf16, imgsz=96)(im)
+    assert not np.array_equal(p32, p16)  # bf16 path actually taken
+    np.testing.assert_allclose(p16[..., :4], p32[..., :4], rtol=0.05, atol=1.5)
+
+
 def test_tflite_int8_ptq(synth_data, tmp_path):
     """--int8 TFLite PTQ calibrated on the dataset (reference export.py:667,798
     int8 surface) converts and still detects through MultiBackend val."""

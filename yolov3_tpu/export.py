@@ -90,13 +90,22 @@ def export_checkpoint(model, file, imgsz=640):
 
 
 @try_export
-def export_stablehlo(model, file, imgsz=640, batch=1, include_nms=False):
-    """Serialized StableHLO artifact via jax.export — runs on any PJRT backend."""
+def export_stablehlo(model, file, imgsz=640, batch=1, include_nms=False, dynamic=False):
+    """Serialized StableHLO artifact via jax.export — runs on any PJRT backend.
+
+    dynamic=True exports with a symbolic batch dimension (shape polymorphism —
+    the XLA-native analog of the reference's ONNX/TF dynamic axes,
+    export.py:798 --dynamic): one artifact serves any batch size.
+    """
     import jax
     from jax import export as jexport
 
     serve = _make_serving_fn(model, include_nms=include_nms)
-    spec = jax.ShapeDtypeStruct((batch, imgsz, imgsz, 3), np.uint8)
+    if dynamic:
+        (bdim,) = jexport.symbolic_shape("b")
+        spec = jax.ShapeDtypeStruct((bdim, imgsz, imgsz, 3), np.uint8)
+    else:
+        spec = jax.ShapeDtypeStruct((batch, imgsz, imgsz, 3), np.uint8)
     exported = jexport.export(jax.jit(serve))(spec)
     out = Path(file).with_suffix(".stablehlo")
     out.write_bytes(exported.serialize())
@@ -105,15 +114,17 @@ def export_stablehlo(model, file, imgsz=640, batch=1, include_nms=False):
 
 
 @try_export
-def export_savedmodel(model, file, imgsz=640, batch=1, include_nms=False):
-    """TF SavedModel via jax2tf (requires tensorflow)."""
+def export_savedmodel(model, file, imgsz=640, batch=1, include_nms=False, dynamic=False):
+    """TF SavedModel via jax2tf (requires tensorflow); dynamic=True exports a
+    polymorphic batch dimension (reference --dynamic analog)."""
     import tensorflow as tf
     from jax.experimental import jax2tf
 
     serve = _make_serving_fn(model, include_nms=include_nms)
+    poly = [f"(b, {imgsz}, {imgsz}, 3)"] if dynamic else None
     tf_fn = tf.function(
-        jax2tf.convert(serve, with_gradient=False),
-        input_signature=[tf.TensorSpec((batch, imgsz, imgsz, 3), tf.uint8)],
+        jax2tf.convert(serve, with_gradient=False, polymorphic_shapes=poly),
+        input_signature=[tf.TensorSpec((None if dynamic else batch, imgsz, imgsz, 3), tf.uint8)],
         autograph=False,
     )
     out = str(Path(file).with_suffix("")) + "_savedmodel"
@@ -210,11 +221,15 @@ def export_onnx(model, file, imgsz=640, batch=1):
 
 
 def run(weights="yolov3-tiny", include=("checkpoint", "stablehlo"), imgsz=640, batch=1, nms=False,
-        out_dir="runs/export", int8=False, data=None):
+        out_dir="runs/export", int8=False, data=None, half=False, dynamic=False):
     """Export a model to the requested formats; returns {format: path|None}."""
     from yolov3_tpu.cli.val import load_weights
 
     model = load_weights(weights)
+    if half:  # fused bf16 artifact (reference exports fused fp16 with --half, export.py:719)
+        from yolov3_tpu.models.detection import optimize_for_inference
+
+        model = optimize_for_inference(model, bf16=True)
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     base = out_dir / model.spec.name
@@ -223,8 +238,8 @@ def run(weights="yolov3-tiny", include=("checkpoint", "stablehlo"), imgsz=640, b
         assert fmt in EXPORT_FORMATS, f"unknown export format {fmt}; choose from {EXPORT_FORMATS}"
         fn = {
             "checkpoint": lambda: export_checkpoint(model, base, imgsz),
-            "stablehlo": lambda: export_stablehlo(model, base, imgsz, batch, nms),
-            "savedmodel": lambda: export_savedmodel(model, base, imgsz, batch, nms),
+            "stablehlo": lambda: export_stablehlo(model, base, imgsz, batch, nms, dynamic),
+            "savedmodel": lambda: export_savedmodel(model, base, imgsz, batch, nms, dynamic),
             "tflite": lambda: export_tflite(model, base, imgsz, batch, nms, int8, data),
             "onnx": lambda: export_onnx(model, base, imgsz, batch),
         }[fmt]
@@ -244,8 +259,15 @@ def main():
     p.add_argument("--out-dir", default="runs/export")
     p.add_argument("--int8", action="store_true", help="TFLite INT8 post-training quantization")
     p.add_argument("--data", default=None, help="dataset YAML for int8 calibration images")
+    p.add_argument("--half", action="store_true", help="export fused bf16 weights")
+    p.add_argument("--dynamic", action="store_true",
+                   help="symbolic batch dimension (stablehlo/savedmodel shape polymorphism)")
+    p.add_argument("--device", default="", help="JAX platform, e.g. cpu or tpu (default: auto)")
     a = p.parse_args()
-    run(a.weights, a.include, a.imgsz, a.batch, a.nms, a.out_dir, a.int8, a.data)
+    from yolov3_tpu.utils.general import select_device
+
+    select_device(a.device)
+    run(a.weights, a.include, a.imgsz, a.batch, a.nms, a.out_dir, a.int8, a.data, a.half, a.dynamic)
 
 
 if __name__ == "__main__":

@@ -101,6 +101,12 @@ class MultiBackend:
             out = self.interp.get_output_details()[0]
 
             def run_tflite(im):
+                nonlocal inp, out
+                if list(im.shape) != list(inp["shape"]):  # dynamic-batch artifact
+                    self.interp.resize_tensor_input(inp["index"], im.shape)
+                    self.interp.allocate_tensors()
+                    inp = self.interp.get_input_details()[0]
+                    out = self.interp.get_output_details()[0]
                 self.interp.set_tensor(inp["index"], im)
                 self.interp.invoke()
                 return self.interp.get_tensor(out["index"])
