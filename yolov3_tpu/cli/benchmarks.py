@@ -18,25 +18,37 @@ from yolov3_tpu import export as export_mod
 from yolov3_tpu.utils.general import LOGGER, file_size
 
 
-def run(weights="yolov3-tiny", data="coco128.yaml", imgsz=640, batch_size=8, hard_fail=None, formats=None):
+def run(weights="yolov3-tiny", data="coco128.yaml", imgsz=640, batch_size=8, hard_fail=None, formats=None,
+        pt_only=False, test=False, half=False):
+    """pt_only: native checkpoint path only; test: exports only (no val) —
+    reference benchmarks.py --pt-only / --test (benchmarks.py:121-199).
+    half: bf16 validation (reference benchmarks.py --half)."""
     from yolov3_tpu.cli.val import load_weights
     from yolov3_tpu.eval import validator
 
     results = []
     model = load_weights(weights)
-    for fmt in formats or export_mod.EXPORT_FORMATS:
+    fmts = ("checkpoint",) if pt_only else tuple(formats or export_mod.EXPORT_FORMATS)
+    for fmt in fmts:
         t0 = time.time()
         try:
             if fmt == "checkpoint":
+                if test:
+                    results.append((fmt, 0.0, None, None))
+                    continue
                 # native path: validate the model directly
-                r, _, speeds = validator.run(data, model=model, batch_size=batch_size, imgsz=imgsz)
+                r, _, speeds = validator.run(data, model=model, batch_size=batch_size, imgsz=imgsz, half=half)
                 mAP = r[3]
                 size = 0.0
                 ms = speeds[1]
             else:
-                out = export_mod.run(weights, include=(fmt,), imgsz=imgsz, batch=batch_size)[fmt]
+                out = export_mod.run(weights, include=(fmt,), imgsz=imgsz, batch=batch_size, half=half)[fmt]
                 assert out is not None, "export returned None"
                 size = file_size(out)
+                if test:  # export-only sweep: report sizes, skip validation
+                    results.append((fmt, size, None, None))
+                    LOGGER.info(f"benchmark {fmt}: exported in {time.time() - t0:.1f}s")
+                    continue
                 # export -> val round trip through MultiBackend (reference
                 # benchmarks.py:44-118 vals every format)
                 from yolov3_tpu.models.backend import MultiBackend
@@ -58,7 +70,7 @@ def run(weights="yolov3-tiny", data="coco128.yaml", imgsz=640, batch_size=8, har
             f"{(f'{mAP:.3f}' if mAP is not None else '-'):>10}{(f'{ms:.1f}' if ms is not None else '-'):>10}"
         )
 
-    if hard_fail is not None:
+    if hard_fail is not None and not test:
         native = [r for r in results if r[0] == "checkpoint"][0]
         assert native[2] is not None and native[2] > float(hard_fail), (
             f"HARD FAIL: native mAP50-95 {native[2]} <= floor {hard_fail}"
@@ -74,8 +86,15 @@ def main():
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--hard-fail", type=float, default=None)
     p.add_argument("--formats", nargs="+", default=None)
+    p.add_argument("--pt-only", action="store_true", help="native checkpoint path only")
+    p.add_argument("--test", action="store_true", help="exports only, no validation")
+    p.add_argument("--half", action="store_true", help="bf16 validation/exports")
+    p.add_argument("--device", default="", help="JAX platform, e.g. cpu or tpu (default: auto)")
     a = p.parse_args()
-    run(a.weights, a.data, a.imgsz, a.batch_size, a.hard_fail, a.formats)
+    from yolov3_tpu.utils.general import select_device
+
+    select_device(a.device)
+    run(a.weights, a.data, a.imgsz, a.batch_size, a.hard_fail, a.formats, a.pt_only, a.test, a.half)
 
 
 if __name__ == "__main__":
