@@ -84,6 +84,54 @@ def test_multibackend_roundtrip(micro_model, tmp_path, rng):
     np.testing.assert_allclose(pred, pred2, atol=2e-2)  # bf16 native vs f32 hlo
 
 
+def test_ensemble_val_and_detect(micro_model, tmp_path, rng):
+    """--weights a b builds a concat-NMS Ensemble (reference experimental.py:
+    74-124) that runs through the validator and the detect CLI."""
+    import cv2
+    import jax.numpy as jnp
+
+    from yolov3_tpu.models.detection import DetectionModel
+    from yolov3_tpu.models.ensemble import attempt_load
+    from yolov3_tpu.utils.checkpoint import save_checkpoint
+
+    m2 = DetectionModel.from_config(MICRO, imgsz=64, key=__import__("jax").random.PRNGKey(7))
+    paths = []
+    for i, m in enumerate((micro_model, m2)):
+        p = tmp_path / f"ck{i}"
+        save_checkpoint(p, {"params": m.variables["params"], "batch_stats": m.variables["batch_stats"]},
+                        spec=m.spec, meta={"names": {0: "a", 1: "b"}})
+        paths.append(str(p))
+
+    ens = attempt_load(paths)
+    assert len(ens.models) == 2
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    single, _ = micro_model.predict(x)
+    merged, _ = ens.predict(x)
+    assert merged.shape[1] == 2 * single.shape[1]  # candidates concatenated
+
+    # through the validator (non-native branch: Ensemble quacks like a backend)
+    root = tmp_path / "ds"
+    (root / "images" / "train").mkdir(parents=True)
+    (root / "labels" / "train").mkdir(parents=True)
+    for i in range(2):
+        im = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+        cv2.imwrite(str(root / "images" / "train" / f"{i}.jpg"), im)
+        (root / "labels" / "train" / f"{i}.txt").write_text("0 0.5 0.5 0.4 0.4")
+    data = {"path": str(root), "train": "images/train", "val": "images/train",
+            "names": {0: "a", 1: "b"}}
+    from yolov3_tpu.eval import validator
+
+    results, _, _ = validator.run(data, model=ens, batch_size=2, imgsz=64)
+    assert all(np.isfinite(v) for v in results)
+
+    # through the detect CLI path (multi-weights -> ensemble branch)
+    from yolov3_tpu.cli import detect
+
+    save_dir = detect.run(weights=paths, source=str(root / "images" / "train"), imgsz=(64, 64),
+                          conf_thres=0.0001, project=str(tmp_path), name="ens")
+    assert save_dir.exists()
+
+
 def test_microbatcher_coalesces_and_matches(micro_model, rng):
     """Concurrent submits coalesce into fewer device calls, and every caller
     gets the same rows a standalone batched call would give it."""

@@ -76,8 +76,35 @@ def run(
 
     from yolov3_tpu.models.backend import MultiBackend
 
-    fmt = MultiBackend._sniff(Path(str(weights)))
-    if fmt in ("stablehlo", "savedmodel", "tflite"):
+    if isinstance(weights, (list, tuple)) and len(weights) == 1:
+        weights = weights[0]
+    if isinstance(weights, (list, tuple)):  # concat-NMS ensemble (reference experimental.py:74-124)
+        from yolov3_tpu.models.ensemble import attempt_load
+
+        assert not augment, "--augment with an ensemble is not supported in detect"
+        ens = attempt_load(list(weights))
+        model = ens
+        stride = int(ens.stride)
+        names = ens.names
+        imgsz = check_img_size(list(imgsz) if not isinstance(imgsz, int) else [imgsz] * 2, s=stride)
+
+        def infer(_variables, imgs_u8):
+            pred = ens(np.asarray(imgs_u8))
+            return batched_nms(
+                jnp.asarray(pred), conf_thres=conf_thres, iou_thres=iou_thres,
+                classes=tuple(classes) if classes else None, agnostic=agnostic_nms,
+                max_det=max_det, max_nms=8192,
+            )
+
+        def visualize_features(imgs_u8, save_to):
+            raise NotImplementedError("--visualize requires a single native checkpoint/config model")
+
+        fmt = "ensemble"
+    else:
+        fmt = MultiBackend._sniff(Path(str(weights)))
+    if fmt == "ensemble":
+        pass
+    elif fmt in ("stablehlo", "savedmodel", "tflite"):
         assert not augment, "--augment (TTA) is not supported for exported artifacts"
         backend = MultiBackend(weights, imgsz=imgsz[0] if not isinstance(imgsz, int) else imgsz)
         model = backend  # for .variables access below (None)
@@ -254,7 +281,8 @@ def run(
 
 def parse_opt():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--weights", type=str, default="yolov3-tiny", help="checkpoint dir or model cfg name")
+    parser.add_argument("--weights", type=str, nargs="+", default="yolov3-tiny",
+                        help="checkpoint dir(s) or model cfg name; several -> concat-NMS ensemble")
     parser.add_argument("--source", type=str, default="data/images", help="file/dir/URL/glob/screen/0(webcam)")
     parser.add_argument("--data", type=str, default=None, help="(optional) dataset.yaml for names")
     parser.add_argument("--imgsz", "--img", "--img-size", nargs="+", type=int, default=[640], help="inference size")

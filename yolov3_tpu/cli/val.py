@@ -53,7 +53,15 @@ def run(
 ):
     from yolov3_tpu.eval import validator  # deferred: backend init must follow --device
 
-    model = load_weights(weights)
+    if isinstance(weights, (list, tuple)):
+        if len(weights) > 1:  # concat-NMS ensemble (reference experimental.py:74-124)
+            from yolov3_tpu.models.ensemble import attempt_load
+
+            model = attempt_load(list(weights))
+        else:
+            model = load_weights(weights[0])
+    else:
+        model = load_weights(weights)
     save_dir = increment_path(Path(project) / name, exist_ok=exist_ok, mkdir=True)
 
     if task in ("val", "test", "train", "speed"):
@@ -86,7 +94,8 @@ def run(
 def parse_opt():
     parser = argparse.ArgumentParser()
     parser.add_argument("--data", type=str, default="coco128.yaml")
-    parser.add_argument("--weights", type=str, default="yolov3-tiny")
+    parser.add_argument("--weights", type=str, nargs="+", default="yolov3-tiny",
+                        help="checkpoint(s); several -> concat-NMS ensemble")
     parser.add_argument("--batch-size", type=int, default=32)
     parser.add_argument("--imgsz", "--img", "--img-size", type=int, default=640)
     parser.add_argument("--conf-thres", type=float, default=0.001)

@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from yolov3_tpu.models.detect_head import decode_predictions
 from yolov3_tpu.utils.general import LOGGER
 
 
@@ -36,6 +35,26 @@ class Ensemble:
             p, _ = m.predict(x, augment=augment)
             preds.append(p)
         return jnp.concatenate(preds, axis=1), None
+
+    def __call__(self, imgs_u8):
+        """Backend-style call: uint8 NHWC batch -> decoded (B, N, 5+nc) numpy.
+
+        Lets an Ensemble drop into every place a MultiBackend artifact goes
+        (validator / detect non-native branch) — the reference routes
+        ensembles through DetectMultiBackend the same way (common.py:471).
+        Jitted once: all member forwards + decodes fuse into one program."""
+        import numpy as np
+
+        if not hasattr(self, "_jit_call"):
+            import jax
+
+            def f(x_u8):
+                x = x_u8.astype(jnp.float32) / 255.0
+                pred, _ = self.predict(x)
+                return pred
+
+            self._jit_call = jax.jit(f)
+        return np.asarray(self._jit_call(jnp.asarray(np.asarray(imgs_u8))))
 
 
 def attempt_load(weights, autoshape=False):
