@@ -81,40 +81,6 @@ class Conv(nn.Module):
         return get_activation(self.act)(x)
 
 
-class FusedConv(nn.Module):
-    """Conv2d (with bias) + activation — the inference-time fused form of `Conv`.
-
-    Produced by `yolov3_tpu.models.fuse.fuse_model`, which folds BN scale/shift
-    into the conv kernel/bias (reference fuse(), models/yolo.py:163-172).
-    """
-
-    c2: int
-    k: int = 1
-    s: int = 1
-    p: Any = None
-    g: int = 1
-    d: int = 1
-    act: Any = True
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        pad = autopad(self.k, self.p, self.d)
-        pad = [(pad, pad), (pad, pad)] if isinstance(pad, int) else [(p, p) for p in pad]
-        x = nn.Conv(
-            self.c2,
-            (self.k, self.k) if isinstance(self.k, int) else tuple(self.k),
-            strides=self.s,
-            padding=pad,
-            feature_group_count=self.g,
-            kernel_dilation=self.d,
-            use_bias=True,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
-        return get_activation(self.act)(x)
-
-
 class DWConv(nn.Module):
     """Depthwise-ish conv: groups = gcd(c1, c2) (reference common.py:85-93)."""
 

@@ -61,12 +61,3 @@ def replicate(mesh, tree):
     """Replicate a pytree (params/opt state) across the mesh."""
     sh = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
-
-
-def process_shard(array_len: int) -> slice:
-    """This host's contiguous shard of a global dataset index range —
-    the analog of torch DistributedSampler (reference dataloaders.py:115)."""
-    n = jax.process_count()
-    i = jax.process_index()
-    per = array_len // n
-    return slice(i * per, (i + 1) * per if i < n - 1 else array_len)

@@ -109,4 +109,10 @@ def evolve(train_fn, base_hyp, generations=300, save_dir=Path("runs/evolve"), se
             best_fit, best_hyp = fit, hyp
             yaml_save(save_dir / "hyp_evolve.yaml", hyp)
         LOGGER.info(f"evolve gen {gen + 1}/{generations}: fitness {fit:.4f} (best {best_fit:.4f})")
+    try:  # evolution scatter plot (reference train.py:778 -> plots.py:243-267)
+        from yolov3_tpu.utils.plots import plot_evolve
+
+        plot_evolve(evolve_csv)
+    except Exception as e:  # noqa: BLE001
+        LOGGER.warning(f"evolve plot failed: {e}")
     return best_hyp, best_fit

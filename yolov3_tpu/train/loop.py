@@ -124,6 +124,10 @@ def train(
     model.names = names
     stride = int(model.stride)
     nl = model.spec.nl
+    if batch_size == -1:  # AutoBatch (reference train.py:230-232)
+        from yolov3_tpu.utils.autobatch import check_train_batch_size
+
+        batch_size = check_train_batch_size(model, imgsz=imgsz)
     if loggers is not None:
         loggers.log_model_graph(model, imgsz=min(imgsz, 256))  # TB graph-trace analog
 

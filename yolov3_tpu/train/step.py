@@ -104,22 +104,6 @@ def make_train_step(module, loss_cfg: LossConfig, tx, mesh=None, ema_decay=0.999
     )
 
 
-def make_eval_step(module, mesh=None):
-    """Jitted eval forward returning raw feats (decode happens per-imgsz outside)."""
-
-    def eval_step(variables, imgs):
-        x = normalize_images(imgs)
-        return module.apply(variables, x, train=False)
-
-    if mesh is None:
-        return jax.jit(eval_step)
-    repl = replicated(mesh)
-    data = batch_sharding(mesh)
-    # out_shardings=data (a bare sharding) broadcasts over the nl-tuple of
-    # feature maps; a 1-tuple would be an invalid pytree prefix.
-    return jax.jit(eval_step, in_shardings=(repl, data), out_shardings=data)
-
-
 def init_train_state(model, tx, key=None, loss_cfg=None):
     """Build the initial train-state pytree from a DetectionModel handle."""
     variables = model.variables

@@ -294,11 +294,6 @@ def one_cycle(y1=0.0, y2=1.0, steps=100):
     return lambda x: ((1 - math.cos(x * math.pi / steps)) / 2) * (y2 - y1) + y1
 
 
-def linear_lr(lrf, epochs):
-    """Linear LR decay factor schedule: (1 - x/epochs) * (1 - lrf) + lrf."""
-    return lambda x: (1 - x / epochs) * (1.0 - lrf) + lrf
-
-
 def labels_to_class_weights(labels, nc=80):
     """Inverse-frequency class weights from a list of (n,5) label arrays."""
     if not len(labels):
