@@ -107,7 +107,13 @@ def random_perspective(
     im, targets=(), segments=(), degrees=10, translate=0.1, scale=0.1, shear=10, perspective=0.0, border=(0, 0)
 ):
     """Random composed affine (center/perspective/rotate+scale/shear/translate)
-    on image + xyxy-labeled targets (reference augmentations.py:137-216).
+    on image + xyxy-labeled targets.
+
+    Parity transcription of reference augmentations.py:137-216 (same C·P·R·S·T
+    matrix construction and corner-warp indexing, segments branch removed):
+    this is host-side cv2/numpy math in both frameworks, and the exact affine
+    numerics feed trained-weight parity — a re-derivation would shift mAP
+    (SURVEY.md §7 hard part #2), like letterbox above.
 
     targets: (n, 5) [cls, x1, y1, x2, y2] pixel boxes. Returns (im, targets).
     """
