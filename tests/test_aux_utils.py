@@ -76,6 +76,16 @@ def test_evolve_plots_scatter(tmp_path):
     assert (tmp_path / "evolve.png").exists(), "plot_evolve not produced"
 
 
+def test_profiler_trace(tmp_path):
+    """jax.profiler trace context writes an XProf trace (reference Profile/
+    torch_utils.profile analog for deep performance inspection)."""
+    from yolov3_tpu.utils import profiling
+
+    with profiling.trace(tmp_path):
+        jnp.ones(8).sum().block_until_ready()
+    assert any(tmp_path.rglob("*.xplane.pb")), "no trace file produced"
+
+
 def test_autobatch_minus_one_resolves():
     """batch_size=-1 -> AutoBatch picks a concrete batch from HBM analysis
     (reference train.py:230-232); wired into train() the same way."""
