@@ -90,6 +90,15 @@ def test_remat_step_matches_plain(setup):
     # model.variables — give the remat step an independent copy
     state_r = jax.tree.map(jnp.array, init_train_state(model, tx))
 
+    # segmented remat must not change the param tree structure/naming
+    remat_module = model.module.clone(remat=True)
+    v_r = jax.jit(remat_module.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
+    )
+    assert jax.tree_util.tree_structure(v_r["params"]) == jax.tree_util.tree_structure(
+        model.variables["params"]
+    )
+
     state, metrics = step(state, imgs, targets, mask)
     state_r, metrics_r = step_r(state_r, imgs, targets, mask)
     assert np.allclose(float(metrics["loss"]), float(metrics_r["loss"]), rtol=1e-6)

@@ -46,26 +46,13 @@ class YOLOGraph(nn.Module):
     dtype: Any = jnp.float32
     fused: bool = False
     head_raw: bool = False  # Detect returns raw NHWC conv outputs (serving fast path)
+    remat: bool = False  # segmented jax.checkpoint: backward recomputes one segment at a time
+    remat_segment: int = 6  # layers per checkpoint segment (saved state = segment boundaries)
 
-    @nn.compact
-    def __call__(self, x, train: bool = False):
+    def _run_layers(self, layers, out, y, prev_i, train):
+        """Execute a run of non-Detect layers; returns (out, y, prev_i)."""
         spec = self.spec
-        if spec.activation:  # YAML `activation:` override (reference yolo.py:313)
-            from yolov3_tpu.nn.activations import set_default_activation
-
-            set_default_activation(spec.activation)
-        x = x.astype(self.dtype)
-        y = {}  # saved layer outputs
-        out = x
-        prev_i = -1
-        for ls in spec.layers:
-            if ls.op == "Detect":
-                feats = [out if j == prev_i else y[j] for j in ls.f]
-                return Detect(
-                    nc=spec.nc, na=spec.na, strides=spec.strides, dtype=self.dtype,
-                    raw=self.head_raw, name=f"l{ls.i}"
-                )(feats, train)
-
+        for ls in layers:
             if ls.op in MULTI_INPUT_OPS:
                 inp = [out if j == prev_i else y[j] for j in ls.f]
             else:
@@ -87,7 +74,50 @@ class YOLOGraph(nn.Module):
             prev_i = ls.i
             if ls.i in spec.save:
                 y[ls.i] = out
-        raise ValueError("spec ended without a Detect layer")
+        return out, y, prev_i
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        spec = self.spec
+        if spec.activation:  # YAML `activation:` override (reference yolo.py:313)
+            from yolov3_tpu.nn.activations import set_default_activation
+
+            set_default_activation(spec.activation)
+        x = x.astype(self.dtype)
+        body, detect = spec.layers[:-1], spec.layers[-1]
+        assert detect.op == "Detect", "spec must end with a Detect layer"
+
+        y = {}  # saved layer outputs
+        out = x
+        prev_i = -1
+        if not self.remat:
+            out, y, prev_i = self._run_layers(body, out, y, prev_i, train)
+        else:
+            # Segmented rematerialization: checkpoint every `remat_segment`
+            # layers, so the backward saves only segment-boundary activations
+            # (+ skip-connection saves, which must persist anyway) and
+            # recomputes one segment at a time. Per-LAYER checkpointing is
+            # useless on a chain — the boundary set IS the activation pyramid;
+            # segmenting divides the live set by the segment length.
+            # `train` and the segment's layer list stay python-static via
+            # closure, keeping BN's train/eval branch out of the trace.
+            n = max(int(self.remat_segment), 1)
+            for s in range(0, len(body), n):
+                seg = body[s : s + n]
+                seg_prev = prev_i
+
+                def seg_fn(mdl, out, y, _seg=seg, _prev=seg_prev):
+                    o, yy, _ = mdl._run_layers(_seg, out, y, _prev, train)
+                    return o, yy
+
+                out, y = nn.remat(seg_fn, prevent_cse=False)(self, out, y)
+                prev_i = seg[-1].i
+
+        feats = [out if j == prev_i else y[j] for j in detect.f]
+        return Detect(
+            nc=spec.nc, na=spec.na, strides=spec.strides, dtype=self.dtype,
+            raw=self.head_raw, name=f"l{detect.i}"
+        )(feats, train)
 
 
 class DetectionModel:

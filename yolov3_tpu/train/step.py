@@ -20,6 +20,7 @@ ONE compiled program over a `Mesh(("data",))`:
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Any
 
@@ -45,19 +46,22 @@ def make_train_step(module, loss_cfg: LossConfig, tx, mesh=None, ema_decay=0.999
     Returns step_fn(state, imgs_u8, targets, mask) -> (state, metrics).
     `loss_scale`: total-loss multiplier — 4.0 in quad mode (the quad collate
     quarters the batch dim the loss is scaled by; reference train.py:407-408).
-    `remat`: rematerialize the forward in the backward pass (jax.checkpoint) —
-    trades ~1/3 more FLOPs for not keeping the activation pyramid live,
-    enabling ~2x larger per-chip batches at 640 (the reference has no analog;
-    its memory lever is AMP + smaller batches).
+    `remat`: per-layer activation rematerialization — the backward recomputes
+    one layer at a time instead of keeping the whole activation pyramid live,
+    enabling ~2x larger per-chip batches at 640 for ~1/3 more FLOPs (the
+    reference has no analog; its memory lever is AMP + smaller batches).
     """
 
     autobalance = loss_cfg.autobalance
     ssi = loss_cfg.strides.index(16) if (autobalance and 16 in loss_cfg.strides) else 0
 
+    if remat and hasattr(module, "clone") and any(f.name == "remat" for f in dataclasses.fields(module)):
+        module = module.clone(remat=True)  # layer-granular (YOLOGraph)
+
     def apply_fn(params, batch_stats, x):
         return module.apply({"params": params, "batch_stats": batch_stats}, x, train=True, mutable=["batch_stats"])
 
-    if remat:
+    if remat and not getattr(module, "remat", False):
         apply_fn = jax.checkpoint(apply_fn)
 
     def train_step(state, imgs, targets, mask):
