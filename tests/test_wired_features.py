@@ -195,6 +195,21 @@ def test_val_save_hybrid_txt_conf(ds_root, tmp_path):
     assert any(float(r[5]) > 0.99 for r in rows)  # perfect-confidence injected boxes
 
 
+def test_val_batch_mosaics(ds_root, tmp_path):
+    """plots=True writes val_batch{i}_labels/pred.jpg (reference val.py:417-419)."""
+    from yolov3_tpu.eval import validator
+    from yolov3_tpu.models.detection import DetectionModel
+
+    data = {"path": str(Path(ds_root).parents[1]), "train": "images/train",
+            "val": "images/train", "names": {0: "a", 1: "b"}}
+    model = DetectionModel.from_config(MICRO_CFG, imgsz=64)
+    validator.run(data, model=model, batch_size=4, imgsz=64, rect=False,
+                  plots=True, save_dir=tmp_path)
+    got = {p.name for p in tmp_path.glob("val_batch*")}
+    assert {"val_batch0_labels.jpg", "val_batch0_pred.jpg",
+            "val_batch1_labels.jpg", "val_batch1_pred.jpg"} <= got
+
+
 def test_val_half_bf16(ds_root, tmp_path):
     """--half runs the val forward in bf16 (reference val.py:196 fp16 analog)."""
     from yolov3_tpu.eval import validator

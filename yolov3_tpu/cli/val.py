@@ -73,6 +73,7 @@ def run(
             single_cls=single_cls, augment=augment, verbose=verbose, save_json=save_json,
             save_txt=save_txt, save_conf=save_conf, save_hybrid=save_hybrid, half=half,
             workers=workers, save_dir=save_dir,
+            plots=(task != "speed"),  # standalone val plots by default (reference val.py:192)
         )
         return results, maps, speeds
 

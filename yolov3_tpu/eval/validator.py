@@ -122,6 +122,7 @@ def run(
     stats = []
     loss_sum = np.zeros(3)
     n_batches = 0
+    batch_i = 0
     confusion = ConfusionMatrix(nc=nc) if plots else None
     jdict = []
     class_map = coco80_to_coco91_class() if save_json else list(range(1000))
@@ -162,6 +163,10 @@ def run(
         if with_loss:
             loss_sum += np.asarray(comps)
             n_batches += 1
+
+        if plots and batch_i < 3:  # label + prediction mosaics (reference val.py:417-419)
+            _plot_val_batch(imgs, targets, mask, dets, n_valid, batch_i, Path(save_dir), names)
+        batch_i += 1
 
         with dt[2]:
             h, w = imgs.shape[1:3]
@@ -260,6 +265,33 @@ def run(
 
 
 _FORWARD_CACHE = {}
+
+
+def _plot_val_batch(imgs, targets, mask, dets, n_valid, bi, save_dir, names, conf=0.25, max_boxes=15):
+    """val_batch{i}_labels.jpg + val_batch{i}_pred.jpg (reference val.py:417-419)."""
+    try:
+        from yolov3_tpu.utils.plots import plot_images
+
+        names = {int(k): v for k, v in dict(names).items()} if names else None
+        plot_images(imgs, targets, masks=mask, fname=save_dir / f"val_batch{bi}_labels.jpg", names=names)
+        h, w = imgs.shape[1:3]
+        pt = np.zeros((imgs.shape[0], max_boxes, 5), np.float32)
+        pm = np.zeros((imgs.shape[0], max_boxes), bool)
+        for si in range(imgs.shape[0]):
+            d = dets[si, : n_valid[si]]
+            d = d[d[:, 4] > conf][:max_boxes]  # letterbox-space xyxy conf cls
+            if len(d):
+                pt[si, : len(d), 0] = d[:, 5]
+                pt[si, : len(d), 1] = (d[:, 0] + d[:, 2]) / 2 / w
+                pt[si, : len(d), 2] = (d[:, 1] + d[:, 3]) / 2 / h
+                pt[si, : len(d), 3] = (d[:, 2] - d[:, 0]) / w
+                pt[si, : len(d), 4] = (d[:, 3] - d[:, 1]) / h
+                pm[si, : len(d)] = True
+        plot_images(imgs, pt, masks=pm, fname=save_dir / f"val_batch{bi}_pred.jpg", names=names)
+    except Exception as e:  # noqa: BLE001 — plotting must never fail a val run
+        from yolov3_tpu.utils.general import LOGGER as _log
+
+        _log.warning(f"val batch plot failed: {e}")
 
 
 def _save_one_txt(pred, labels_dir, stem, h0w0, save_conf):

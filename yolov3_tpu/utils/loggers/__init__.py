@@ -141,9 +141,10 @@ class Loggers:
             LOGGER.warning(f"train batch mosaic failed: {e}")
 
     def on_val_end(self, epoch=0):
-        """Forward val plot artifacts (PR/F1/confusion) to image sinks."""
+        """Forward val plot artifacts (PR/F1/confusion, batch mosaics) to image sinks."""
         files = [self.save_dir / n for n in
                  ("PR_curve.png", "F1_curve.png", "P_curve.png", "R_curve.png", "confusion_matrix.png")]
+        files += sorted(self.save_dir.glob("val_batch*.jpg"))
         self._log_image_files([f for f in files if f.exists()], "Validation", epoch)
 
     def on_model_save(self, last=None, epoch=0, final=False):
