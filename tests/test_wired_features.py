@@ -247,6 +247,33 @@ def test_train_rect_noplots_label_smoothing(ds_root, tmp_path):
     assert hyp_saved["label_smoothing"] == 0.05
 
 
+def test_train_bf16_policy(ds_root, tmp_path):
+    """half=True trains with a bf16 compute policy (the reference's AMP,
+    train.py:214/345) — f32 params, bf16 forward, f32 loss; run completes."""
+    import jax.numpy as jnp
+
+    from yolov3_tpu.train.loop import train
+
+    data = {"path": str(Path(ds_root).parents[1]), "train": "images/train",
+            "val": "images/train", "names": {0: "a", 1: "b"}}
+    sd = tmp_path / "exp"
+    best, results, _ = train(
+        data=data, cfg=MICRO_CFG, epochs=1, batch_size=4, imgsz=64, save_dir=sd,
+        hyp={"lr0": 0.01, "lrf": 0.1, "momentum": 0.9, "weight_decay": 0.0,
+             "warmup_epochs": 0.0, "box": 0.05, "obj": 1.0, "cls": 0.5, "mosaic": 0.0,
+             "fliplr": 0.0, "hsv_h": 0, "hsv_s": 0, "hsv_v": 0, "translate": 0.0,
+             "scale": 0.0, "anchor_t": 4.0},
+        noautoanchor=True, noplots=True, half=True,
+    )
+    assert np.isfinite(results[3])
+    # params stored f32 (mixed precision, not weight casting)
+    from yolov3_tpu.utils.checkpoint import load_model_from_checkpoint
+
+    m = load_model_from_checkpoint(sd / "weights" / "last")
+    leaf = next(iter(__import__("jax").tree.leaves(m.variables["params"])))
+    assert leaf.dtype == jnp.float32
+
+
 def test_env_probes_and_unicode_paths(tmp_path):
     """Env probes exist and run; cv2 wrappers handle non-ASCII paths
     (reference utils/general.py:92-155, 869-900)."""

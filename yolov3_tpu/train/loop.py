@@ -22,6 +22,7 @@ import time
 from pathlib import Path
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from yolov3_tpu.data.dataset_yaml import check_dataset
@@ -35,6 +36,7 @@ from yolov3_tpu.train.loss import LossConfig
 from yolov3_tpu.train.optim import EarlyStopping, build_optimizer
 from yolov3_tpu.train.step import init_train_state, make_train_step
 from yolov3_tpu.utils.callbacks import Callbacks
+from yolov3_tpu.utils.checks import check_bf16
 from yolov3_tpu.utils.checkpoint import load_checkpoint, save_checkpoint, strip_checkpoint
 from yolov3_tpu.utils.general import LOGGER, colorstr, increment_path, init_seeds, yaml_load, yaml_save
 
@@ -74,6 +76,7 @@ def train(
     rect=False,
     label_smoothing=0.0,
     sync_bn=False,
+    half=None,
 ):
     """Train a detection model. Returns (best_fitness, results, save_dir)."""
     callbacks = callbacks or Callbacks()
@@ -122,6 +125,14 @@ def train(
         model = DetectionModel.from_config(cfg, nc=nc, imgsz=256)
         start_epoch, best_fitness = 0, 0.0
     model.names = names
+    # bf16 compute policy (the reference's AMP: train.py:214 check_amp ->
+    # autocast forward). half=None auto-selects: bf16 on accelerators when the
+    # check_amp-analog sanity check passes; params/loss stay f32 (loss.py
+    # casts feats up) so this is classic mixed precision.
+    if half is None:
+        half = jax.default_backend() != "cpu" and check_bf16(model)
+    if half and model.dtype != jnp.bfloat16:
+        model = DetectionModel(model.spec, model.variables, jnp.bfloat16, names, model.fused)
     stride = int(model.stride)
     nl = model.spec.nl
     if batch_size == -1:  # AutoBatch (reference train.py:230-232)
