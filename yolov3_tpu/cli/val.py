@@ -53,13 +53,12 @@ def run(
 ):
     from yolov3_tpu.eval import validator  # deferred: backend init must follow --device
 
-    if isinstance(weights, (list, tuple)):
-        if len(weights) > 1:  # concat-NMS ensemble (reference experimental.py:74-124)
-            from yolov3_tpu.models.ensemble import attempt_load
+    if isinstance(weights, (list, tuple)) and len(weights) == 1:
+        weights = weights[0]
+    if isinstance(weights, (list, tuple)):  # concat-NMS ensemble (reference experimental.py:74-124)
+        from yolov3_tpu.models.ensemble import attempt_load
 
-            model = attempt_load(list(weights))
-        else:
-            model = load_weights(weights[0])
+        model = attempt_load(list(weights))
     else:
         model = load_weights(weights)
     save_dir = increment_path(Path(project) / name, exist_ok=exist_ok, mkdir=True)
