@@ -30,7 +30,7 @@ def _make_batch(B=8, M=8, seed=0):
     return imgs, targets, mask
 
 
-def _run_one_step(devices, imgs, targets, mask):
+def _run_one_step(devices, imgs, targets, mask, remat=False):
     from yolov3_tpu.models.detection import DetectionModel
     from yolov3_tpu.parallel.mesh import create_mesh, replicate, shard_batch
     from yolov3_tpu.train.loss import LossConfig
@@ -42,7 +42,7 @@ def _run_one_step(devices, imgs, targets, mask):
     hyp = {"lr0": 0.01, "lrf": 0.01, "momentum": 0.937, "weight_decay": 0.0005}
     tx, _, _ = build_optimizer("sgd", model.params, hyp, epochs=3, steps_per_epoch=10, batch_size=64)
     loss_cfg = LossConfig.from_model(model.spec, hyp)
-    step_fn = make_train_step(model.module, loss_cfg, tx, mesh=mesh)
+    step_fn = make_train_step(model.module, loss_cfg, tx, mesh=mesh, remat=remat)
     state = replicate(mesh, init_train_state(model, tx))
     batch = shard_batch(mesh, (imgs, targets, mask))
     state, metrics = step_fn(state, *batch)
@@ -63,6 +63,17 @@ def test_8dev_loss_matches_1dev():
     p8 = jax.tree.leaves(state8["params"])[0]
     p1 = jax.tree.leaves(state1["params"])[0]
     np.testing.assert_allclose(np.asarray(p8), np.asarray(p1), rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_8dev_remat_matches_plain():
+    """Segmented remat under GSPMD: the 8-device sharded remat step produces
+    the same loss as the plain 8-device step (remat is a pure recompute
+    schedule — sharding must not change its semantics)."""
+    imgs, targets, mask = _make_batch(B=8, seed=4)
+    _, m_plain = _run_one_step(jax.devices()[:8], imgs, targets, mask)
+    _, m_remat = _run_one_step(jax.devices()[:8], imgs, targets, mask, remat=True)
+    np.testing.assert_allclose(m_remat["loss"], m_plain["loss"], rtol=2e-5)
 
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
