@@ -17,7 +17,7 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
-def main(model_name="yolov3", imgsz=640, batch=16, iters=4, remat=False):
+def main(model_name="yolov3", imgsz=640, batch=16, iters=4, remat=False, remat_seg=None):
     import jax
     import jax.numpy as jnp
 
@@ -35,7 +35,7 @@ def main(model_name="yolov3", imgsz=640, batch=16, iters=4, remat=False):
     tx, _, _ = build_optimizer("sgd", model.params, hyp, epochs=300, steps_per_epoch=1000,
                                batch_size=batch, min_warmup_steps=0)
     loss_cfg = LossConfig.from_model(model.spec, hyp)
-    step = make_train_step(model.module, loss_cfg, tx, remat=remat)
+    step = make_train_step(model.module, loss_cfg, tx, remat=remat, remat_segment=remat_seg)
     state = init_train_state(model, tx, loss_cfg=loss_cfg)
 
     rng = np.random.default_rng(0)
@@ -75,5 +75,6 @@ if __name__ == "__main__":
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--iters", type=int, default=4)
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--remat-seg", type=int, default=None)
     a = p.parse_args()
-    main(a.model, a.imgsz, a.batch, a.iters, a.remat)
+    main(a.model, a.imgsz, a.batch, a.iters, a.remat, a.remat_seg)

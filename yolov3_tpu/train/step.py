@@ -39,7 +39,7 @@ def normalize_images(imgs):
 
 
 def make_train_step(module, loss_cfg: LossConfig, tx, mesh=None, ema_decay=0.9999, loss_scale=1.0,
-                    remat=False):
+                    remat=False, remat_segment=None):
     """Build the jitted train step.
 
     State pytree: {params, batch_stats, opt, ema:{ema, updates}, step}.
@@ -56,7 +56,13 @@ def make_train_step(module, loss_cfg: LossConfig, tx, mesh=None, ema_decay=0.999
     ssi = loss_cfg.strides.index(16) if (autobalance and 16 in loss_cfg.strides) else 0
 
     if remat and hasattr(module, "clone") and any(f.name == "remat" for f in dataclasses.fields(module)):
-        module = module.clone(remat=True)  # layer-granular (YOLOGraph)
+        kw = {"remat": True}
+        if remat_segment is not None:
+            # longer segments save fewer boundary activations (each boundary
+            # costs a full feature map — dominant at high resolution) at the
+            # price of a larger per-segment recompute window
+            kw["remat_segment"] = int(remat_segment)
+        module = module.clone(**kw)
 
     def apply_fn(params, batch_stats, x):
         return module.apply({"params": params, "batch_stats": batch_stats}, x, train=True, mutable=["batch_stats"])
