@@ -165,6 +165,38 @@ def test_microbatcher_coalesces_and_matches(micro_model, rng):
         np.testing.assert_allclose(dets, dets_ref[i, :n], rtol=1e-5, atol=1e-5)
 
 
+def test_microbatcher_survives_malformed_frame(micro_model, rng):
+    """A frame the dispatcher can't stack (mismatched channel count coalesced
+    with normal frames) fails its waiters but must NOT kill the dispatcher
+    thread — later submits still serve."""
+    from yolov3_tpu.serve import MicroBatcher, build_batched_infer
+
+    infer = build_batched_infer(micro_model, conf_thres=1e-4, fast=False)
+    b = MicroBatcher(infer, max_batch=4, batch_wait_ms=200.0)
+    b.warmup(64)
+
+    good = np.ascontiguousarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+    bad = np.ascontiguousarray(rng.integers(0, 255, (64, 64, 4), dtype=np.uint8))
+    errs = {}
+
+    def worker(key, im):
+        try:
+            errs[key] = b.submit(im)
+        except Exception as e:  # noqa: BLE001
+            errs[key] = e
+
+    ts = [threading.Thread(target=worker, args=(k, im)) for k, im in [("g", good), ("b", bad)]]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=120)
+    assert isinstance(errs["b"], Exception) or isinstance(errs["g"], Exception)
+    # the dispatcher must still be alive and serving
+    assert b._thread.is_alive()
+    dets, n = b.submit(good)
+    assert isinstance(n, int)
+
+
 @pytest.mark.slow  # server warmup compile can exceed the wait on a loaded 1-core box
 def test_serve_roundtrip(micro_model, tmp_path, rng):
     import cv2

@@ -88,6 +88,41 @@ def test_area_ranges_and_maxdets():
     assert stats[6] == 1.0   # AR maxDet=1
 
 
+def test_area_boundary_inclusive():
+    # pycocotools ignores only if area < lo or area > hi: a 32x32 gt+dt
+    # (area exactly 32**2) belongs to BOTH the small and medium buckets
+    gts = [_gt(1, 1, 10, 10, 32, 32, 1)]
+    dts = [_dt(1, 1, 10, 10, 32, 32, 0.9)]
+    stats = COCOBboxEval(_dataset(gts), dts).accumulate().summarize(verbose=False)
+    assert stats[3] == 1.0  # AP small (boundary included)
+    assert stats[4] == 1.0  # AP medium (boundary included)
+    # 96x96 likewise straddles medium/large
+    gts = [_gt(1, 1, 10, 10, 96, 96, 1)]
+    dts = [_dt(1, 1, 10, 10, 96, 96, 0.9)]
+    stats = COCOBboxEval(_dataset(gts), dts).accumulate().summarize(verbose=False)
+    assert stats[4] == 1.0 and stats[5] == 1.0
+
+
+def test_iou_cache_reused_across_area_ranges():
+    # accumulate() touches 4 area ranges; the (img, cat) IoU matrix must be
+    # computed once (pycocotools caches in self.ious keyed the same way)
+    gts = [_gt(1, 1, 10, 10, 50, 50, 1)]
+    dts = [_dt(1, 1, 10, 10, 50, 50, 0.9)]
+    ev = COCOBboxEval(_dataset(gts), dts)
+    calls = {"n": 0}
+    orig = ev._ious_for
+
+    def counting(img_id, cat_id):
+        fresh = (img_id, cat_id) not in ev._iou_cache
+        out = orig(img_id, cat_id)
+        calls["n"] += int(fresh)
+        return out
+
+    ev._ious_for = counting
+    ev.accumulate()
+    assert calls["n"] == 1
+
+
 def test_maxdet_1_truncation():
     # 2 gts, 2 perfect dts: AR@maxDet=1 sees only the top-scoring detection
     gts = [_gt(1, 1, 10, 10, 50, 50, 1), _gt(1, 1, 200, 200, 50, 50, 2)]

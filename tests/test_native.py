@@ -143,3 +143,21 @@ def test_letterbox_matches_cv2_path():
             np.testing.assert_array_equal(a, b)
         else:  # upscale: clamped border rows within 1 LSB
             assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+
+def test_letterbox_4channel_fill_in_bounds():
+    # BGRA input with the default 3-tuple fill: the color buffer must be
+    # padded to cn entries (np.resize wraps -> alpha fill = color[0]), not
+    # read past a 3-byte buffer
+    rng = np.random.default_rng(5)
+    im = rng.integers(0, 256, (300, 500, 4), dtype=np.uint8)
+    out, _, _ = native.letterbox(im, 640, auto=False)
+    assert out.shape == (640, 640, 4)
+    pad_rows = out[:5]  # top padding region
+    assert (pad_rows[..., :3] == 114).all()
+    assert (pad_rows[..., 3] == pad_rows[0, 0, 3]).all()  # deterministic fill
+
+    # grayscale path still works with the 3-tuple default
+    im1 = rng.integers(0, 256, (300, 500), dtype=np.uint8)
+    out1, _, _ = native.letterbox(im1, 640, auto=False)
+    assert out1.shape == (640, 640) and out1[0, 0] == 114

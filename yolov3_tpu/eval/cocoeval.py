@@ -88,25 +88,42 @@ class COCOBboxEval:
         self.precision = None  # (T, R, K, A, M)
         self.recall = None  # (T, K, A, M)
         self.stats = None
+        self._iou_cache = {}  # (img_id, cat_id) -> (sorted dts, ious) — like pycocotools self.ious
 
     # -- evaluate ----------------------------------------------------------
+    def _ious_for(self, img_id, cat_id):
+        """Score-sorted dts (truncated to maxDets[-1]) + IoU matrix vs gts in
+        original order; computed once per (image, category) and reused across
+        the 4 area ranges (pycocotools caches identically in computeIoU)."""
+        key = (img_id, cat_id)
+        if key not in self._iou_cache:
+            gts = self._gts[key]
+            dts_all = self._dts[key]
+            d_ord = np.argsort([-d["score"] for d in dts_all], kind="stable")[: MAX_DETS[-1]]
+            dts = [dts_all[i] for i in d_ord]
+            iscrowd = [int(g["iscrowd"]) for g in gts]
+            ious = _bbox_iou_matrix([d["bbox"] for d in dts], [g["bbox"] for g in gts], iscrowd)
+            self._iou_cache[key] = (dts, ious)
+        return self._iou_cache[key]
+
     def _evaluate_img(self, img_id, cat_id, arng, max_det):
         gts = self._gts[(img_id, cat_id)]
-        dts = self._dts[(img_id, cat_id)]
+        dts, ious_full = self._ious_for(img_id, cat_id)
         if not gts and not dts:
             return None
+        # inclusive bounds on both ends: pycocotools ignores only if
+        # area < lo or area > hi, so area == 32**2 lands in "small"
         gt_ig = np.array(
-            [g["ignore"] or g["iscrowd"] or not (arng[0] <= g["area"] < arng[1]) for g in gts],
+            [g["ignore"] or g["iscrowd"] or g["area"] < arng[0] or g["area"] > arng[1] for g in gts],
             dtype=bool,
         )
-        # sort gts ignored-last, dts by descending score (both stable)
+        # sort gts ignored-last (stable); dts already score-sorted in the cache
         g_ord = np.argsort(gt_ig, kind="stable")
         gts = [gts[i] for i in g_ord]
         gt_ig = gt_ig[g_ord]
-        d_ord = np.argsort([-d["score"] for d in dts], kind="stable")[:max_det]
-        dts = [dts[i] for i in d_ord]
+        dts = dts[:max_det]
         iscrowd = [int(g["iscrowd"]) for g in gts]
-        ious = _bbox_iou_matrix([d["bbox"] for d in dts], [g["bbox"] for g in gts], iscrowd)
+        ious = ious_full[: len(dts)][:, g_ord] if ious_full.size else ious_full[: len(dts)]
 
         T, D, G = len(IOU_THRS), len(dts), len(gts)
         gtm = np.zeros((T, G), dtype=np.int64)
@@ -132,7 +149,7 @@ class COCOBboxEval:
                 gtm[ti, m] = 1
         # unmatched dts outside the area range are ignored, not FPs
         d_out = np.array(
-            [d["bbox"][2] * d["bbox"][3] < arng[0] or d["bbox"][2] * d["bbox"][3] >= arng[1] for d in dts],
+            [d["bbox"][2] * d["bbox"][3] < arng[0] or d["bbox"][2] * d["bbox"][3] > arng[1] for d in dts],
             dtype=bool,
         )
         dt_ig |= (dtm == 0) & d_out[None, :]

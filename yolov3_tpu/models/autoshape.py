@@ -186,7 +186,7 @@ class Detections:
             s += f"\nimage {i + 1}/{self.n}: {im.shape[0]}x{im.shape[1]} "
             if len(pred):
                 for c in np.unique(pred[:, 5]):
-                    n = (pred[:, 5] == c).sum()
+                    n = int((pred[:, 5] == c).sum())
                     s += f"{n} {self.names.get(int(c), int(c))}{'s' * (n > 1)}, "
                 im_bgr = np.ascontiguousarray(im[:, :, ::-1])
                 annotator = Annotator(im_bgr)

@@ -177,7 +177,9 @@ def letterbox(im, new_shape=(640, 640), color=(114, 114, 114), auto=True,
     out_w = new_unpad[0] + left + round(dw + 0.1)
 
     cn = 1 if im.ndim == 2 else im.shape[2]
-    col = np.asarray(color[:cn] if cn > 1 else color[:1], np.uint8)
+    # pad/repeat to exactly cn entries: a 4-channel (BGRA) input with the
+    # default 3-tuple must not make the C++ kernel read past the buffer
+    col = np.resize(np.asarray(color, np.uint8), cn)
     dst = np.empty((out_h, out_w, cn) if im.ndim == 3 else (out_h, out_w), np.uint8)
     u8 = ctypes.c_uint8
     lib.yolo_letterbox_u8(

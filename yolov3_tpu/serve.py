@@ -149,9 +149,11 @@ class MicroBatcher:
                     items.append(self.q.get(timeout=left))
                 except queue.Empty:
                     break
-            bucket = next(b for b in self.buckets if b >= len(items))
-            batch = np.stack([it[0] for it in items] + [items[-1][0]] * (bucket - len(items)))
             try:
+                # stack inside the try: a malformed frame (wrong channel count /
+                # dtype) must fail its waiters, not kill the dispatcher thread
+                bucket = next(b for b in self.buckets if b >= len(items))
+                batch = np.stack([it[0] for it in items] + [items[-1][0]] * (bucket - len(items)))
                 dets, n = self.infer(batch)
                 dets, n = np.asarray(dets), np.asarray(n)
             except Exception as e:  # noqa: BLE001 — fail every waiter, not the server
@@ -251,6 +253,8 @@ def serve(weights, host="0.0.0.0", port=8507, imgsz=640, conf_thres=0.25, iou_th
                 else:
                     im = cv2.imdecode(np.frombuffer(raw, np.uint8), cv2.IMREAD_COLOR)
                 assert im is not None and im.ndim == 3, "could not decode image"
+                assert im.shape[2] == 3, f"expected 3-channel HWC image, got shape {im.shape}"
+                im = np.ascontiguousarray(im, dtype=np.uint8)
             except Exception as e:  # noqa: BLE001
                 return self._json(400, {"error": f"bad image payload: {e}"})
             t0 = time.perf_counter()
