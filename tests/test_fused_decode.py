@@ -120,6 +120,81 @@ def test_nhwc_raw_head_matches_transposed():
         np.testing.assert_array_equal(np.asarray(c1[bi])[k1][o1], np.asarray(c2[bi])[k2][o2])
 
 
+def test_overflow_flag_dense_scene_80x80():
+    """A crowded frame at 640-scale grids (80x80, the case the fast path was
+    never tested at): when the above-conf candidate count exceeds k the decode
+    must raise its overflow flag instead of silently truncating."""
+    from yolov3_tpu.models.detect_head import decode_topk_nhwc
+
+    rng = np.random.default_rng(0)
+    nc, na = 80, 3
+    raw = rng.normal(-8.0, 0.5, size=(2, 80, 80, na * (nc + 5))).astype(np.float32)
+    # image 0: 400 confident cells (> k=256); image 1: 20 (< k)
+    flat = raw.reshape(2, -1, nc + 5)
+    for b, count in [(0, 400), (1, 20)]:
+        idx = rng.choice(flat.shape[1], size=count, replace=False)
+        flat[b, idx, 4] = 4.0
+        flat[b, idx, 5 + rng.integers(0, nc)] = 5.0
+    feats = [jnp.asarray(raw)]
+    anchors = ANCHORS[:1]
+    b_, s_, c_, ov = decode_topk_nhwc(feats, anchors, STRIDES[:1], k_per_scale=(256,),
+                                      conf_thres=0.25, with_overflow=True)
+    ov = np.asarray(ov)
+    assert ov[0] and not ov[1]
+    # transposed-layout variant agrees
+    t = jnp.asarray(raw.reshape(2, 80, 80, na, nc + 5).transpose(0, 3, 1, 2, 4))
+    _, _, _, ov2 = decode_topk_candidates([t], anchors, STRIDES[:1], k_per_scale=(256,),
+                                          conf_thres=0.25, with_overflow=True)
+    np.testing.assert_array_equal(np.asarray(ov2), ov)
+    # the no-overflow image's candidates are complete (score parity vs full decode)
+    pred = np.asarray(decode_predictions([t], anchors, STRIDES[:1]))[1]
+    best = (pred[:, 4:5] * pred[:, 5:]).max(1)
+    want = np.sort(best[(best > 0.25) & (pred[:, 4] > 0.25)])[::-1]
+    got = np.asarray(s_[1])
+    got = np.sort(got[got > 0])[::-1]
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_serve_fast_path_falls_back_on_overflow(micro_model_or_tiny=None):
+    """build_batched_infer(fast=True) must detect top-k truncation and re-run
+    the batch through the exact full pipeline — no silent detection drops."""
+    from yolov3_tpu.models.detection import DetectionModel
+    from yolov3_tpu.serve import build_batched_infer
+
+    model = DetectionModel.from_config("yolov3-tiny", imgsz=64)
+
+    def bump(path, v):
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        return v + 6.0 if ("bias" in name and ("m0" in name or "m1" in name)) else v
+
+    model = model.replace_variables({
+        "params": jax.tree_util.tree_map_with_path(bump, model.variables["params"]),
+        "batch_stats": model.variables["batch_stats"],
+    })
+    imgs = np.random.default_rng(2).integers(0, 255, (2, 64, 64, 3), np.uint8)
+
+    # tiny k forces overflow on the bumped model (4x4 and 2x2 grids at 64px)
+    infer = build_batched_infer(model, conf_thres=0.01, fast=True, k_per_scale=(4, 2))
+    d_fast, n_fast, ov = infer.fast_jit(imgs)
+    assert bool(np.asarray(jnp.any(ov))), "test setup must actually overflow"
+    dets, n = infer(imgs)  # wrapper should take the fallback
+    d_full, n_full = infer.full_jit(imgs)
+    np.testing.assert_array_equal(np.asarray(n), np.asarray(n_full))
+    for b in range(2):
+        nb = int(np.asarray(n)[b])
+        np.testing.assert_allclose(np.asarray(dets[b, :nb]), np.asarray(d_full[b, :nb]),
+                                   rtol=1e-4, atol=1e-3)
+    # and the fallback genuinely recovered rows the truncated path lost
+    assert np.asarray(n_full).sum() > np.asarray(n_fast).sum()
+
+    # sparse scene: no overflow, wrapper returns the fast result
+    infer2 = build_batched_infer(model, conf_thres=0.01, fast=True, k_per_scale=(48, 12))
+    d2, n2, ov2 = infer2.fast_jit(imgs)
+    assert not bool(np.asarray(jnp.any(ov2)))
+    dets2, nn2 = infer2(imgs)
+    np.testing.assert_array_equal(np.asarray(nn2), np.asarray(n2))
+
+
 def test_bench_pipeline_matches_reference_path():
     """The exact bench.py fast path (raw head + nhwc decode + candidate NMS)
     must produce the same detections as the validated full pipeline."""

@@ -82,7 +82,8 @@ def make_grid(ny: int, nx: int, dtype=jnp.float32):
     return jnp.stack([xv, yv], axis=-1).reshape(1, 1, ny, nx, 2) - 0.5
 
 
-def decode_topk_candidates(feats, anchors, strides, k_per_scale=(256, 128, 64), conf_thres=0.25):
+def decode_topk_candidates(feats, anchors, strides, k_per_scale=(256, 128, 64), conf_thres=0.25,
+                           with_overflow=False):
     """Fused per-scale top-k candidate extraction straight from raw Detect feats.
 
     The full decode (`decode_predictions`) materializes (bs, N, no) float32
@@ -99,10 +100,15 @@ def decode_topk_candidates(feats, anchors, strides, k_per_scale=(256, 128, 64), 
     (conf 0.25, reference val.py:605-609) that holds by orders of magnitude.
 
     Returns (boxes_xyxy (bs, K, 4), scores (bs, K), cls_ids (bs, K)) with
-    invalid slots marked score=-1, K = sum(k_per_scale).
+    invalid slots marked score=-1, K = sum(k_per_scale). With
+    `with_overflow=True` a 4th element (bs,) bool is returned, True when any
+    scale had MORE above-conf candidates than its k (i.e. the top-k truncated
+    a dense scene and equivalence with the full decode is not guaranteed) —
+    callers fall back to the full pipeline on that signal.
     """
     anchors = jnp.asarray(anchors, dtype=jnp.float32).reshape(len(feats), -1, 2)
     boxes_all, scores_all, cls_all = [], [], []
+    overflow = None
     for i, f in enumerate(feats):
         bs, na, ny, nx, no = f.shape
         nc = no - 5
@@ -115,6 +121,9 @@ def decode_topk_candidates(feats, anchors, strides, k_per_scale=(256, 128, 64), 
         score = obj_sig * nn.sigmoid(cls_logit_max)  # sigmoid is monotonic: max(sig(c)) = sig(max(c))
         valid = (score > conf_thres) & (obj_sig > conf_thres)
         masked = jnp.where(valid, score, -1.0)
+        if with_overflow:  # fuses into the same pass that builds `masked`
+            ov = jnp.sum(valid, axis=1) > k
+            overflow = ov if overflow is None else overflow | ov
 
         top_s, top_i = jax.lax.top_k(masked, k)  # (bs, k)
 
@@ -140,14 +149,16 @@ def decode_topk_candidates(feats, anchors, strides, k_per_scale=(256, 128, 64), 
         scores_all.append(top_s)
         cls_all.append(top_cls)
 
-    return (
+    out = (
         jnp.concatenate(boxes_all, axis=1),
         jnp.concatenate(scores_all, axis=1),
         jnp.concatenate(cls_all, axis=1),
     )
+    return out + (overflow,) if with_overflow else out
 
 
-def decode_topk_nhwc(feats_raw, anchors, strides, k_per_scale=(256, 128, 64), conf_thres=0.25):
+def decode_topk_nhwc(feats_raw, anchors, strides, k_per_scale=(256, 128, 64), conf_thres=0.25,
+                     with_overflow=False):
     """`decode_topk_candidates` for RAW NHWC head outputs ((bs, ny, nx, na*no),
     compute dtype — see Detect(raw=True)).
 
@@ -155,10 +166,12 @@ def decode_topk_nhwc(feats_raw, anchors, strides, k_per_scale=(256, 128, 64), co
     NHWC memory order), so no transpose of the head output is ever
     materialized; scores are computed in f32 from bf16 loads. Same candidate
     semantics as the reference (conf = obj * cls_max, both > conf_thres,
-    utils/general.py:630-714).
+    utils/general.py:630-714). `with_overflow=True` appends a (bs,) bool
+    truncation flag (see decode_topk_candidates).
     """
     anchors = jnp.asarray(anchors, dtype=jnp.float32).reshape(len(feats_raw), -1, 2)
     boxes_all, scores_all, cls_all = [], [], []
+    overflow = None
     for i, f in enumerate(feats_raw):
         bs, ny, nx, ch = f.shape
         na = anchors.shape[1]
@@ -174,6 +187,9 @@ def decode_topk_nhwc(feats_raw, anchors, strides, k_per_scale=(256, 128, 64), co
         score = obj_sig * nn.sigmoid(cls_logit_max)
         valid = (score > conf_thres) & (obj_sig > conf_thres)
         masked = jnp.where(valid, score, -1.0)
+        if with_overflow:
+            ov = jnp.sum(valid, axis=1) > k
+            overflow = ov if overflow is None else overflow | ov
 
         top_s, top_i = jax.lax.top_k(masked, k)  # (bs, k)
 
@@ -197,11 +213,12 @@ def decode_topk_nhwc(feats_raw, anchors, strides, k_per_scale=(256, 128, 64), co
         scores_all.append(top_s)
         cls_all.append(jnp.take_along_axis(cls_arg, top_i, axis=1).astype(jnp.float32))
 
-    return (
+    out = (
         jnp.concatenate(boxes_all, axis=1),
         jnp.concatenate(scores_all, axis=1),
         jnp.concatenate(cls_all, axis=1),
     )
+    return out + (overflow,) if with_overflow else out
 
 
 def decode_predictions(feats, anchors, strides):

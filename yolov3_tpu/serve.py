@@ -40,12 +40,17 @@ import numpy as np
 from yolov3_tpu.utils.general import LOGGER
 
 
-def build_batched_infer(model, conf_thres=0.25, iou_thres=0.45, max_det=300, fast=True, mesh=None):
+def build_batched_infer(model, conf_thres=0.25, iou_thres=0.45, max_det=300, fast=True, mesh=None,
+                        k_per_scale=(256, 128, 64)):
     """Jitted ((B,H,W,3) uint8) -> ((B,max_det,6) dets, (B,) n).
 
     fast=True uses the bench serving path: BN-folded bf16 forward + fused
     per-scale top-k decode + Pallas NMS (equivalence-tested against the full
-    pipeline). fast=False keeps the reference-parity full decode + batched NMS.
+    pipeline). A per-image overflow flag from the decode detects dense scenes
+    whose above-conf candidate count exceeds the per-scale top-k budget; those
+    batches re-run through the full-decode pipeline (lazily compiled on first
+    overflow) instead of silently truncating. fast=False keeps the
+    reference-parity full decode + batched NMS always.
     With a `mesh`, the batch dim is sharded over the mesh's data axis —
     data-parallel serving over every chip in the slice (B must be a multiple
     of the device count; the MicroBatcher aligns its buckets to that).
@@ -57,6 +62,7 @@ def build_batched_infer(model, conf_thres=0.25, iou_thres=0.45, max_det=300, fas
     from yolov3_tpu.models.detection import cast_variables_for_inference
     from yolov3_tpu.ops.nms import batched_nms, nms_from_candidates
 
+    full_model = model
     if fast:
         model = model.fuse()
         model = model.replace_variables(cast_variables_for_inference(model.variables))
@@ -69,28 +75,49 @@ def build_batched_infer(model, conf_thres=0.25, iou_thres=0.45, max_det=300, fas
     # sharded serving uses the (equivalent) XLA NMS loop instead
     use_pallas = jax.default_backend() == "tpu" and mesh is None
 
-    def infer_fn(imgs_u8):
-        if fast:
-            x = imgs_u8.astype(jnp.bfloat16) / 255.0
-            feats = module.apply(variables, x, train=False)
-            boxes, scores, cls_ids = decode_topk_nhwc(
-                feats, anchors, strides, k_per_scale=(256, 128, 64), conf_thres=conf_thres
-            )
-            return nms_from_candidates(
-                boxes, scores, cls_ids, iou_thres=iou_thres, max_det=max_det, use_pallas=use_pallas
-            )
-        x = imgs_u8.astype(jnp.float32) / 255.0
+    def fast_fn(imgs_u8):
+        x = imgs_u8.astype(jnp.bfloat16) / 255.0
         feats = module.apply(variables, x, train=False)
-        pred = decode_predictions(feats, anchors, strides)
+        boxes, scores, cls_ids, overflow = decode_topk_nhwc(
+            feats, anchors, strides, k_per_scale=k_per_scale, conf_thres=conf_thres,
+            with_overflow=True,
+        )
+        dets, n = nms_from_candidates(
+            boxes, scores, cls_ids, iou_thres=iou_thres, max_det=max_det, use_pallas=use_pallas
+        )
+        return dets, n, overflow
+
+    def full_fn(imgs_u8):
+        x = imgs_u8.astype(jnp.float32) / 255.0
+        feats = full_model.module.apply(full_model.variables, x, train=False)
+        pred = decode_predictions(feats, full_model.anchors_px, full_model.spec.strides)
         return batched_nms(pred, conf_thres=conf_thres, iou_thres=iou_thres, max_det=max_det, max_nms=8192)
 
     if mesh is None:
-        return jax.jit(infer_fn)
-    from yolov3_tpu.parallel.mesh import batch_sharding
+        jit_kw = {}
+    else:
+        from yolov3_tpu.parallel.mesh import batch_sharding
 
-    data = batch_sharding(mesh)
-    # both outputs (dets (B,max_det,6), n (B,)) keep the sharded batch dim
-    return jax.jit(infer_fn, in_shardings=data, out_shardings=data)
+        data = batch_sharding(mesh)
+        # outputs (dets (B,max_det,6), n (B,), [overflow (B,)]) keep the sharded batch dim
+        jit_kw = {"in_shardings": data, "out_shardings": data}
+
+    full_jit = jax.jit(full_fn, **jit_kw)
+    if not fast:
+        return full_jit
+    fast_jit = jax.jit(fast_fn, **jit_kw)
+
+    def infer(imgs_u8):
+        dets, n, overflow = fast_jit(imgs_u8)
+        if bool(np.asarray(jnp.any(overflow))):
+            # dense scene truncated the top-k: re-run through the exact full
+            # pipeline (first overflow pays its compile; correctness over speed)
+            LOGGER.info("serve: top-k candidate overflow — falling back to full decode for this batch")
+            return full_jit(imgs_u8)
+        return dets, n
+
+    infer.fast_jit, infer.full_jit = fast_jit, full_jit
+    return infer
 
 
 class MicroBatcher:
