@@ -52,12 +52,25 @@ def replicated(mesh):
 
 
 def shard_batch(mesh, batch, axis_name="data"):
-    """Place a host array (or pytree of arrays) sharded on the batch axis."""
+    """Place a host array (or pytree of arrays) sharded on the batch axis.
+
+    Multi-host: each process passes its LOCAL rows (the per-host loader shard,
+    see datasets shard_per_host) and gets back the global sharded jax.Array —
+    the SPMD analog of DistributedSampler feeding DDP (reference
+    dataloaders.py:115): no host ever materializes the global batch."""
     sh = batch_sharding(mesh, axis_name)
+    if jax.process_count() > 1:
+        return jax.tree.map(lambda x: jax.make_array_from_process_local_data(sh, x), batch)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
 def replicate(mesh, tree):
-    """Replicate a pytree (params/opt state) across the mesh."""
+    """Replicate a pytree (params/opt state) across the mesh. Multi-host:
+    every process passes the same host values (deterministic init/checkpoint
+    load guarantees that) and addresses only its local replicas."""
     sh = replicated(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)), tree
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
