@@ -42,46 +42,65 @@ import numpy as np
 A100_BASELINE_IMGS_PER_S = 200.0
 
 
-def _plant_obj_bias(variables, delta):
-    """Return a copy of the (fused, serving) variables with the Detect-head
-    objectness bias raised by `delta` — obj channel = a*no + 4 within each
-    m{i} 1x1 conv bias (layout contract: models/detect_head.py Detect)."""
+def _plant_detections(variables, obj_deltas, obj_gains=None, cls_bump=12.0):
+    """Return a copy of the (fused, serving) variables with the Detect head
+    biased to emit real candidates:
+      - per-scale objectness bias shifted by obj_deltas[i];
+      - per-scale objectness KERNEL column scaled by obj_gains[i] — the
+        random-init obj logit spread is ~0.01, so without amplification any
+        bias shift flips every cell at once instead of a selectable tail;
+      - every class bias raised by cls_bump (the class prior init log(0.6/79)
+        otherwise caps conf = obj*cls_max at ~0.008 regardless of obj).
+    Channel layout contract a*no + o per models/detect_head.py Detect."""
     import jax
     import jax.numpy as jnp
 
+    no = 85  # nc 80 + 5
+
     def bump(path, v):
         segs = [str(getattr(p, "key", p)) for p in path]
-        if segs[-1] != "bias" or not any(s in segs for s in ("m0", "m1", "m2", "m3", "m4")):
+        if not any(f"m{i}" in segs for i in range(5)):
             return v
-        b = np.asarray(v, np.float32)
-        no = 85  # nc 80 + 5
-        na = b.size // no
-        b = b.reshape(na, no).copy()
-        b[:, 4] += delta
-        return jnp.asarray(b.reshape(-1), dtype=v.dtype)
+        scale_i = next(i for i in range(5) if f"m{i}" in segs)
+        if segs[-1] == "bias":
+            b = np.asarray(v, np.float32)
+            na = b.size // no
+            b = b.reshape(na, no).copy()
+            b[:, 4] += float(obj_deltas[scale_i])
+            b[:, 5:] += cls_bump
+            return jnp.asarray(b.reshape(-1), dtype=v.dtype)
+        if segs[-1] == "kernel" and obj_gains is not None:
+            k = np.asarray(v, np.float32)  # (1, 1, cin, na*no)
+            na = k.shape[-1] // no
+            k = k.copy()
+            for a in range(na):
+                k[..., a * no + 4] *= float(obj_gains[scale_i])
+            return jnp.asarray(k, dtype=v.dtype)
+        return v
 
     return jax.tree_util.tree_map_with_path(bump, variables)
 
 
-def _calibrate_delta(count_fn, variables_fn, target=150.0, scale0_cap=230.0):
-    """Find the obj-bias delta giving ~target above-conf candidates/image with
-    the busiest scale safely under its top-k budget (no truncation)."""
-    lo, hi = 0.0, 16.0
-    best = 0.0
-    for _ in range(8):
-        mid = (lo + hi) / 2
-        per_scale = count_fn(variables_fn(mid))  # (nl, B) candidate counts
-        total = float(per_scale.sum(0).mean())
-        s0max = float(per_scale[0].max())
-        if total < target and s0max < scale0_cap:
-            best, lo = mid, mid
-        else:
-            hi = mid
-    return best
-
-
 def main(model_name="yolov3", imgsz=640, batch=128, iters=8, dtype="bfloat16",
          with_planted=True, with_h2d=True, with_train=True):
+    extra = {}
+    if with_train:
+        # the train step at bs128 needs nearly the whole HBM: run it in its own
+        # process BEFORE this one claims the chip with inference buffers
+        import subprocess
+        import sys
+
+        r = subprocess.run([sys.executable, __file__, "--train-only"],
+                           capture_output=True, text=True, timeout=3600)
+        for line in reversed(r.stdout.strip().splitlines()):
+            try:
+                extra["train_img_s"] = json.loads(line)["train_img_s"]
+                break
+            except (json.JSONDecodeError, KeyError):
+                continue
+        if "train_img_s" not in extra:
+            print(f"# train metric unavailable: {r.stdout[-300:]} {r.stderr[-300:]}", flush=True)
+
     import jax
     import jax.numpy as jnp
 
@@ -163,17 +182,40 @@ def main(model_name="yolov3", imgsz=640, batch=128, iters=8, dtype="bfloat16",
         return main(model_name, imgsz, nxt, iters, dtype, with_planted, with_h2d, with_train)
 
     imgs_per_s, _, _ = timed(model.variables)
-    extra = {}
 
     if with_planted:
-        # raise the obj prior until ~150 candidates/image pass conf 0.25 —
-        # same compiled program (variables are inputs), real NMS/top-k work
-        probe = imgs[0]
-        delta = _calibrate_delta(
-            lambda v: np.asarray(count_candidates(v, probe)),
-            lambda d: _plant_obj_bias(model.variables, d),
-        )
-        planted_vars = _plant_obj_bias(model.variables, delta)
+        # quantile calibration: with class biases saturated (cls_sig ~ 1,
+        # score ~ obj_sig), shifting scale i's obj bias by (thr - q_i) puts
+        # exactly the top target_i cells/image above conf 0.25 — a bias-only
+        # shift can't use a count bisection because random-init logit spread
+        # is so small the transition is all-cells-or-none
+        targets = (112.0, 28.0, 10.0)  # per-scale candidates/img (cap 256/128/64)
+        probe = imgs[0][:8]
+
+        @jax.jit
+        def probe_stats(variables, p_imgs):
+            """Per-scale (mean, std, tail-quantile) of the obj logits."""
+            x = p_imgs.astype(jdtype) / 255.0
+            feats = module.apply(variables, x, train=False)
+            out = []
+            for i, f in enumerate(feats):
+                flat = f.reshape(f.shape[0], -1, 85)
+                obj = flat[..., 4].astype(jnp.float32).reshape(-1)
+                frac = targets[i] / flat.shape[1]
+                out.append(jnp.stack([jnp.mean(obj), jnp.std(obj),
+                                      jnp.percentile(obj, 100.0 * (1.0 - frac))]))
+            return jnp.stack(out)  # (nl, 3)
+
+        # pass 1: measure spread, choose gains that widen it to ~2.0
+        base = _plant_detections(model.variables, (0.0,) * 3)
+        st = np.asarray(probe_stats(base, probe))
+        gains = np.clip(2.0 / np.maximum(st[:, 1], 1e-8), 1.0, 1e6)
+        # pass 2: re-probe with gains applied, shift each scale's bias so the
+        # top target_i cells/image sit above the conf-0.25 logit crossing
+        gained = _plant_detections(model.variables, (0.0,) * 3, obj_gains=gains)
+        qs = np.asarray(probe_stats(gained, probe))[:, 2]
+        thr_logit = float(np.log(0.25 / 0.75)) + 0.05
+        planted_vars = _plant_detections(model.variables, thr_logit - qs, obj_gains=gains)
         per_scale = np.asarray(count_candidates(planted_vars, probe))
         planted_img_s, n_planted, ov_planted = timed(planted_vars)
         extra.update(
@@ -201,12 +243,6 @@ def main(model_name="yolov3", imgsz=640, batch=128, iters=8, dtype="bfloat16",
         for d, n, _ in outs:
             np.asarray(d), np.asarray(n)
         extra["h2d_img_s"] = round(batch * h2d_iters / (time.perf_counter() - t0), 2)
-
-    if with_train:
-        try:
-            extra["train_img_s"] = round(_train_throughput(model_name, imgsz), 2)
-        except Exception as e:  # noqa: BLE001 — never fail the headline metric
-            print(f"# train metric skipped: {type(e).__name__}: {e}", flush=True)
 
     print(
         json.dumps(
@@ -281,6 +317,11 @@ if __name__ == "__main__":
     p.add_argument("--no-planted", action="store_true")
     p.add_argument("--no-h2d", action="store_true")
     p.add_argument("--no-train", action="store_true")
+    p.add_argument("--train-only", action="store_true")
     a = p.parse_args()
-    main(a.model, a.imgsz, a.batch, a.iters, a.dtype,
-         with_planted=not a.no_planted, with_h2d=not a.no_h2d, with_train=not a.no_train)
+    if a.train_only:
+        v = _train_throughput(a.model, a.imgsz)
+        print(json.dumps({"train_img_s": round(v, 2)}))
+    else:
+        main(a.model, a.imgsz, a.batch, a.iters, a.dtype,
+             with_planted=not a.no_planted, with_h2d=not a.no_h2d, with_train=not a.no_train)

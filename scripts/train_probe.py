@@ -17,7 +17,7 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
-def main(model_name="yolov3", imgsz=640, batch=16, iters=4, remat=False, remat_seg=None):
+def main(model_name="yolov3", imgsz=640, batch=16, iters=4, remat=False, remat_seg=None, s2d_stem=False):
     import jax
     import jax.numpy as jnp
 
@@ -30,7 +30,7 @@ def main(model_name="yolov3", imgsz=640, batch=16, iters=4, remat=False, remat_s
     from yolov3_tpu.train.optim import build_optimizer
     from yolov3_tpu.train.step import init_train_state, make_train_step
 
-    model = DetectionModel.from_config(model_name, imgsz=64, dtype=jnp.bfloat16)
+    model = DetectionModel.from_config(model_name, imgsz=64, dtype=jnp.bfloat16, s2d_stem=s2d_stem)
     hyp = {"lr0": 0.01, "lrf": 0.01, "momentum": 0.937, "weight_decay": 0.0005}
     tx, _, _ = build_optimizer("sgd", model.params, hyp, epochs=300, steps_per_epoch=1000,
                                batch_size=batch, min_warmup_steps=0)
@@ -76,5 +76,6 @@ if __name__ == "__main__":
     p.add_argument("--iters", type=int, default=4)
     p.add_argument("--remat", action="store_true")
     p.add_argument("--remat-seg", type=int, default=None)
+    p.add_argument("--s2d-stem", action="store_true")
     a = p.parse_args()
-    main(a.model, a.imgsz, a.batch, a.iters, a.remat, a.remat_seg)
+    main(a.model, a.imgsz, a.batch, a.iters, a.remat, a.remat_seg, a.s2d_stem)

@@ -34,6 +34,9 @@ def parse_opt(known=False):
     parser.add_argument("--quad", action="store_true", help="quad collate: 4 images stitched per sample")
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize activations in backward (fit ~2x batch per chip)")
+    parser.add_argument("--s2d-stem", action="store_true",
+                        help="space-to-depth stem: avoids XLA lane padding of the 32-ch "
+                             "full-res activation (hi-res training memory fix; exact transform)")
     parser.add_argument("--rect", action="store_true", help="rectangular training (aspect-ratio batches)")
     parser.add_argument("--noplots", action="store_true", help="save no plot image artifacts")
     parser.add_argument("--label-smoothing", type=float, default=0.0, help="label smoothing epsilon")
@@ -135,6 +138,7 @@ def main(opt=None):
         workers=opt.workers,
         cache_images=opt.cache,
         remat=opt.remat,
+        s2d_stem=opt.s2d_stem,
         rect=opt.rect,
         noplots=opt.noplots,
         label_smoothing=opt.label_smoothing,

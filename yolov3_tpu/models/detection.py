@@ -48,6 +48,7 @@ class YOLOGraph(nn.Module):
     head_raw: bool = False  # Detect returns raw NHWC conv outputs (serving fast path)
     remat: bool = False  # segmented jax.checkpoint: backward recomputes one segment at a time
     remat_segment: int = 6  # layers per checkpoint segment (saved state = segment boundaries)
+    s2d_stem: bool = False  # space-to-depth stem: never materialize the 32-ch full-res activation
 
     def _run_layers(self, layers, out, y, prev_i, train):
         """Execute a run of non-Detect layers; returns (out, y, prev_i)."""
@@ -65,6 +66,8 @@ class YOLOGraph(nn.Module):
                 kwargs["dtype"] = self.dtype
             if self.fused and "fused" in fields:
                 kwargs["fused"] = True
+            if self.s2d_stem and ls.i in (0, 1) and "s2d_mode" in fields:
+                kwargs["s2d_mode"] = "out" if ls.i == 0 else "in"
             if ls.n == 1:
                 inp = cls(*ls.args, name=f"l{ls.i}", **kwargs)(inp, train)
             else:  # stacked repeats (reference yolo.py:370)
@@ -123,10 +126,12 @@ class YOLOGraph(nn.Module):
 class DetectionModel:
     """Model handle: (spec, linen module, variables) with torch-free ergonomics."""
 
-    def __init__(self, spec: ModelSpec, variables, dtype=jnp.float32, names=None, fused=False):
+    def __init__(self, spec: ModelSpec, variables, dtype=jnp.float32, names=None, fused=False,
+                 s2d_stem=False):
         self.spec = spec
         self.fused = fused
-        self.module = YOLOGraph(spec=spec, dtype=dtype, fused=fused)
+        self.s2d_stem = s2d_stem
+        self.module = YOLOGraph(spec=spec, dtype=dtype, fused=fused, s2d_stem=s2d_stem)
         self.variables = variables
         self.dtype = dtype
         self.names = names or {i: str(i) for i in range(spec.nc)}
@@ -134,15 +139,23 @@ class DetectionModel:
 
     # -- construction -----------------------------------------------------
     @classmethod
-    def from_config(cls, cfg="yolov3-tiny", ch=3, nc=None, anchors=None, key=None, dtype=jnp.float32, imgsz=256):
+    def from_config(cls, cfg="yolov3-tiny", ch=3, nc=None, anchors=None, key=None, dtype=jnp.float32,
+                    imgsz=256, s2d_stem=False):
         """Build with random init from a YAML config / name / dict (reference yolo.py:193-231)."""
         spec = parse_spec(cfg, ch=ch, nc=nc, anchors=anchors)
-        module = YOLOGraph(spec=spec, dtype=dtype)
+        if s2d_stem:
+            l0, l1 = spec.layers[0], spec.layers[1]
+            ok = (l0.op == "Conv" and tuple(l0.args[1:3]) == (3, 1)
+                  and l1.op == "Conv" and tuple(l1.args[1:3]) == (3, 2))
+            if not ok:
+                raise ValueError(f"s2d_stem needs a [Conv k3 s1, Conv k3 s2] stem; {spec.name} has "
+                                 f"[{l0.op}{l0.args}, {l1.op}{l1.args}]")
+        module = YOLOGraph(spec=spec, dtype=dtype, s2d_stem=s2d_stem)
         if key is None:
             key = jax.random.PRNGKey(0)
         dummy = jnp.zeros((1, imgsz, imgsz, spec.ch_in), dtype)
         variables = jax.jit(module.init, static_argnames=("train",))(key, dummy, train=False)
-        return cls(spec, variables, dtype)
+        return cls(spec, variables, dtype, s2d_stem=s2d_stem)
 
     # -- forward ----------------------------------------------------------
     def __call__(self, x, train=False):
@@ -187,12 +200,13 @@ class DetectionModel:
         return n_p
 
     def replace_variables(self, variables):
-        return DetectionModel(self.spec, variables, self.dtype, self.names, self.fused)
+        return DetectionModel(self.spec, variables, self.dtype, self.names, self.fused, self.s2d_stem)
 
     def serving_module(self):
         """The same graph with a raw-NHWC Detect head for the fused serving
         path (decode_topk_nhwc). Shares this handle's variables unchanged."""
-        return YOLOGraph(spec=self.spec, dtype=self.dtype, fused=self.fused, head_raw=True)
+        return YOLOGraph(spec=self.spec, dtype=self.dtype, fused=self.fused, head_raw=True,
+                         s2d_stem=self.s2d_stem)
 
     def fuse(self):
         """Fold Conv+BN for inference (reference fuse(), yolo.py:163-172).
@@ -202,7 +216,8 @@ class DetectionModel:
             return self
         from yolov3_tpu.models.fuse import fuse_variables
 
-        return DetectionModel(self.spec, fuse_variables(self.variables), self.dtype, self.names, fused=True)
+        return DetectionModel(self.spec, fuse_variables(self.variables), self.dtype, self.names,
+                              fused=True, s2d_stem=self.s2d_stem)
 
 
 def build_model(cfg="yolov3-tiny", **kw) -> DetectionModel:

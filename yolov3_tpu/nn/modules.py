@@ -41,12 +41,77 @@ def autopad(k, p=None, d=1):
     return p
 
 
+class _ConvParams(nn.Module):
+    """Declares kernel/bias params with nn.Conv's exact names, shapes and
+    inits, without running a conv — used by the space-to-depth stem paths that
+    apply the kernel through a transformed lax conv. Keeping the parameter
+    tree identical to the standard `Conv` means the same checkpoints, the
+    same .pt converter and the same fuse() transform work unchanged."""
+
+    features: int
+    kernel_shape: tuple
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", conv_kernel_init, (*self.kernel_shape, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32) if self.use_bias else None
+        return kernel, bias
+
+
+class _GroupedBatchNorm(nn.Module):
+    """BatchNorm with (C,)-shaped params applied to a space-to-depth tensor
+    whose channels are 4 offset blocks of C: batch statistics reduce over
+    (batch, space, offset) — exactly the population the plain-layout BN sees —
+    so the transformed stem's training dynamics match the untransformed one.
+    Mirrors flax BatchNorm numerics (eps 1e-3, momentum 0.97, biased var)."""
+
+    channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        c = self.channels
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
+
+        b_, h_, w_, ch = x.shape
+        xg = x.reshape(b_, h_, w_, ch // c, c)
+        if train:
+            xf = xg.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=(0, 1, 2, 3))
+            var = jnp.mean(jnp.square(xf), axis=(0, 1, 2, 3)) - jnp.square(mean)
+            if not self.is_initializing():
+                ra_mean.value = 0.97 * ra_mean.value + 0.03 * mean
+                ra_var.value = 0.97 * ra_var.value + 0.03 * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        mul = (scale * jax.lax.rsqrt(var + 1e-3)).astype(self.dtype)
+        add = (bias - mean * scale * jax.lax.rsqrt(var + 1e-3)).astype(self.dtype)
+        y = xg * mul + add
+        return y.reshape(b_, h_, w_, ch)
+
+
 class Conv(nn.Module):
     """Conv2d (no bias) + BatchNorm + activation (reference common.py:57-82).
 
     With `fused=True` the BN is folded into the conv weights ahead of time
     (see models/fuse.py) and the conv carries a bias — the inference-time
-    form the reference produces with fuse() (models/yolo.py:163-172)."""
+    form the reference produces with fuse() (models/yolo.py:163-172).
+
+    `s2d_mode` (TPU lane-padding fix, no reference analog): re-expresses the
+    stem pair [Conv(c,3,1), Conv(2c,3,2)] in space-to-depth layout so the
+    full-resolution low-channel activation (e.g. bf16[B,1280,1280,32], which
+    XLA pads 4x to 128 lanes) is never materialized — mathematically exact,
+    same parameter tree.
+      - "out" (first conv, k3 s1): emits s2d layout (B,H/2,W/2,4*c2),
+        channel blocks offset-major ((a,b) in row-major, a=row offset);
+        computed as 4 stride-2 convs sharing the (3,3,c1,c2) kernel.
+      - "in" (second conv, k3 s2): consumes that layout via a 2x2 conv whose
+        (2,2,4*c1,c2) kernel is the (3,3,c1,c2) kernel scattered by block
+        offset; emits the standard (B,H/2,W/2,c2) layout."""
 
     c2: int
     k: int = 1
@@ -57,9 +122,14 @@ class Conv(nn.Module):
     act: Any = True
     dtype: Any = jnp.float32
     fused: bool = False
+    s2d_mode: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.s2d_mode == "out":
+            return self._s2d_out(x, train)
+        if self.s2d_mode == "in":
+            return self._s2d_in(x, train)
         pad = autopad(self.k, self.p, self.d)
         pad = [(pad, pad), (pad, pad)] if isinstance(pad, int) else [(p, p) for p in pad]
         x = nn.Conv(
@@ -79,6 +149,63 @@ class Conv(nn.Module):
                 use_running_average=not train, momentum=0.97, epsilon=1e-3, dtype=self.dtype, name="bn"
             )(x)
         return get_activation(self.act)(x)
+
+    def _s2d_out(self, x, train):
+        """y = s2d(act(bn(conv3x3_s1(x)))): four shared-kernel stride-2 convs,
+        one per 2x2 offset — each output row y[..., (a*2+b)*c2:+c2] equals the
+        plain conv output at pixels (2i+a, 2j+b)."""
+        assert self.k == 3 and self.s == 1 and self.g == 1 and self.d == 1
+        b_, h_, w_, c1 = x.shape
+        assert h_ % 2 == 0 and w_ % 2 == 0, "s2d stem needs even input dims"
+        kernel, bias = _ConvParams(self.c2, (3, 3, c1), use_bias=self.fused, name="conv")()
+        kernel = kernel.astype(self.dtype)
+        x = x.astype(self.dtype)
+        dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
+        outs = []
+        for a in range(2):
+            for b in range(2):
+                outs.append(
+                    jax.lax.conv_general_dilated(
+                        x, kernel, (2, 2), ((1 - a, a), (1 - b, b)), dimension_numbers=dn
+                    )
+                )
+        y = jnp.concatenate(outs, axis=-1)  # (B, H/2, W/2, 4*c2), offset-major
+        if self.fused:
+            y = y + jnp.tile(bias, 4).astype(self.dtype)
+        else:
+            y = _GroupedBatchNorm(self.c2, dtype=self.dtype, name="bn")(y, train)
+        return get_activation(self.act)(y)
+
+    def _s2d_in(self, x, train):
+        """conv3x3_s2 consuming the s2d layout: 2x2 conv with the 3x3 kernel
+        scattered into block-offset channel slots (pad top/left by 1)."""
+        assert self.k == 3 and self.s == 2 and self.g == 1 and self.d == 1
+        c1 = x.shape[-1] // 4
+        kernel, bias = _ConvParams(self.c2, (3, 3, c1), use_bias=self.fused, name="conv")()
+        kernel = kernel.astype(self.dtype)
+        x = x.astype(self.dtype)
+        w2 = jnp.zeros((2, 2, 4 * c1, self.c2), dtype=kernel.dtype)
+        for tr in range(2):
+            for a in range(2):
+                u = 2 * (tr - 1) + a
+                if u not in (-1, 0, 1):
+                    continue
+                for tc in range(2):
+                    for bb in range(2):
+                        v = 2 * (tc - 1) + bb
+                        if v not in (-1, 0, 1):
+                            continue
+                        blk = (a * 2 + bb) * c1
+                        w2 = w2.at[tr, tc, blk : blk + c1, :].set(kernel[u + 1, v + 1])
+        dn = jax.lax.conv_dimension_numbers(x.shape, w2.shape, ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(x, w2, (1, 1), ((1, 0), (1, 0)), dimension_numbers=dn)
+        if self.fused:
+            y = y + bias.astype(self.dtype)
+        else:
+            y = nn.BatchNorm(
+                use_running_average=not train, momentum=0.97, epsilon=1e-3, dtype=self.dtype, name="bn"
+            )(y)
+        return get_activation(self.act)(y)
 
 
 class DWConv(nn.Module):

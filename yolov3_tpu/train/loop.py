@@ -72,6 +72,7 @@ def train(
     workers=2,
     cache_images=None,
     remat=False,
+    s2d_stem=False,
     noplots=False,
     rect=False,
     label_smoothing=0.0,
@@ -132,7 +133,13 @@ def train(
     if half is None:
         half = jax.default_backend() != "cpu" and check_bf16(model)
     if half and model.dtype != jnp.bfloat16:
-        model = DetectionModel(model.spec, model.variables, jnp.bfloat16, names, model.fused)
+        model = DetectionModel(model.spec, model.variables, jnp.bfloat16, names, model.fused,
+                               model.s2d_stem)
+    if s2d_stem and not model.s2d_stem:
+        # exact layout transform of the stem pair (see nn/modules.Conv s2d_mode)
+        # — same parameter tree, so checkpoints/resume/EMA are unaffected
+        model = DetectionModel(model.spec, model.variables, model.dtype, names, model.fused,
+                               s2d_stem=True)
     stride = int(model.stride)
     nl = model.spec.nl
     if batch_size == -1:  # AutoBatch (reference train.py:230-232)
