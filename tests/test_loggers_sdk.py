@@ -1,0 +1,272 @@
+"""Third-party experiment-tracker depth against mocked SDKs (VERDICT r2 #6).
+
+wandb/comet_ml/clearml are absent in this image, so these tests inject fake
+modules (the same technique tests/ultralytics_shim.py uses for `ultralytics`)
+and drive the REAL adapter code paths end-to-end: W&B model artifacts with
+aliases, Comet model logging + `comet://` resume + Optimizer HPO sweep, and
+ClearML `clearml://` dataset-version loading + debug samples + bbox images.
+Reference surfaces: utils/loggers/wandb/wandb_utils.py:34-175,
+comet/comet_utils.py:1-121, comet/hpo.py, clearml/clearml_utils.py:21-150.
+"""
+
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+
+# ---------------------------------------------------------------- fake wandb
+class _FakeArtifact:
+    def __init__(self, name, type, metadata=None):
+        self.name, self.type, self.metadata = name, type, metadata or {}
+        self.dirs, self.files = [], []
+
+    def add_dir(self, path, name=None):
+        self.dirs.append((path, name))
+
+    def add_file(self, path, name=None):
+        self.files.append((path, name))
+
+
+class _FakeWandbRun:
+    def __init__(self):
+        self.id = "abc123"
+        self.logged = []
+        self.artifacts = []
+
+    def log(self, d):
+        self.logged.append(d)
+
+    def log_artifact(self, art, aliases=()):
+        self.artifacts.append((art, list(aliases)))
+
+    def finish(self):
+        self.finished = True
+
+
+def _install_fake_wandb(monkeypatch):
+    mod = types.ModuleType("wandb")
+    run = _FakeWandbRun()
+    mod.Artifact = _FakeArtifact
+    mod.init = lambda **kw: run
+    mod.Image = lambda p: ("image", str(p))
+    monkeypatch.setitem(sys.modules, "wandb", mod)
+    return mod, run
+
+
+# -------------------------------------------------------------- fake comet_ml
+class _FakeExperiment:
+    def __init__(self):
+        self.models = []
+        self.metrics = []
+        self.others = []
+        self.params = {}
+        self.ended = False
+
+    def log_model(self, name, file_or_folder=None, metadata=None, overwrite=False):
+        self.models.append((name, file_or_folder, metadata))
+
+    def log_metrics(self, d, epoch=None):
+        self.metrics.append((d, epoch))
+
+    def log_metric(self, k, v):
+        self.metrics.append(({k: v}, None))
+
+    def log_other(self, k, v):
+        self.others.append((k, v))
+
+    def log_image(self, *a, **kw):
+        pass
+
+    def get_parameter(self, k):
+        return self.params[k]
+
+    def end(self):
+        self.ended = True
+
+
+class _FakeCometAPIExperiment:
+    """API-side experiment holding downloadable assets."""
+
+    def __init__(self, assets):
+        self._assets = assets  # assetId -> (fileName, bytes, is_model)
+
+    def get_model_asset_list(self, model_name):
+        return [
+            {"assetId": aid, "fileName": fn, "step": i}
+            for i, (aid, (fn, _, is_model)) in enumerate(self._assets.items())
+            if is_model
+        ]
+
+    def get_asset_list(self, asset_type="all"):
+        return [{"assetId": aid, "fileName": fn} for aid, (fn, _, _) in self._assets.items()]
+
+    def get_asset(self, asset_id, return_type="binary"):
+        return self._assets[asset_id][1]
+
+
+def _install_fake_comet(monkeypatch, api_experiment=None, sweep_params=None):
+    mod = types.ModuleType("comet_ml")
+    exp = _FakeExperiment()
+    mod.Experiment = lambda **kw: exp
+
+    class _API:
+        def get(self, path):
+            return api_experiment
+
+    mod.API = _API
+
+    class _Optimizer:
+        def __init__(self, config):
+            self.config = config
+
+        def get_experiments(self):
+            for p in sweep_params or []:
+                e = _FakeExperiment()
+                e.params = p
+                yield e
+
+    mod.Optimizer = _Optimizer
+    monkeypatch.setitem(sys.modules, "comet_ml", mod)
+    return mod, exp
+
+
+# --------------------------------------------------------------- fake clearml
+class _FakeTaskLogger:
+    def __init__(self):
+        self.images = []
+
+    def report_image(self, title=None, series=None, local_path=None, iteration=0, image=None):
+        self.images.append({"title": title, "series": series, "local_path": local_path,
+                            "iteration": iteration, "has_array": image is not None})
+
+
+class _FakeTask:
+    def __init__(self):
+        self._logger = _FakeTaskLogger()
+
+    def get_logger(self):
+        return self._logger
+
+
+def _install_fake_clearml(monkeypatch, dataset_root=None):
+    mod = types.ModuleType("clearml")
+    task = _FakeTask()
+    mod.Task = types.SimpleNamespace(init=lambda **kw: task)
+
+    class _Dataset:
+        @staticmethod
+        def get(dataset_id=None):
+            assert dataset_id == "ds42", dataset_id
+            return types.SimpleNamespace(get_local_copy=lambda: str(dataset_root))
+
+    mod.Dataset = _Dataset
+    monkeypatch.setitem(sys.modules, "clearml", mod)
+    return mod, task
+
+
+# ------------------------------------------------------------------- tests
+def test_wandb_model_artifact(monkeypatch, tmp_path):
+    _, run = _install_fake_wandb(monkeypatch)
+    from yolov3_tpu.utils.loggers.wandb_utils import log_model
+
+    ckpt = tmp_path / "weights" / "last"
+    ckpt.mkdir(parents=True)
+    (ckpt / "checkpoint.yaml").write_text("epoch: 3\n")
+    art = log_model(run, ckpt, epoch=3, fitness=0.42, best=True)
+    assert art.name == "run_abc123_model" and art.type == "model"
+    assert art.metadata["epoch"] == 3 and art.metadata["fitness"] == pytest.approx(0.42)
+    assert art.dirs and art.dirs[0][0] == str(ckpt)
+    (stored, aliases), = run.artifacts
+    assert stored is art and "latest" in aliases and "best" in aliases
+
+
+def test_loggers_hub_model_save_fans_out(monkeypatch, tmp_path):
+    _install_fake_wandb(monkeypatch)
+    _, comet_exp = _install_fake_comet(monkeypatch)
+    monkeypatch.setenv("WANDB_API_KEY", "x")
+    monkeypatch.setenv("COMET_API_KEY", "x")
+    from yolov3_tpu.utils.loggers import Loggers
+
+    lg = Loggers(save_dir=tmp_path, include=("csv", "wandb", "comet"))
+    assert lg.wandb is not None and lg.comet is not None
+    ckpt = tmp_path / "last"
+    ckpt.mkdir()
+    (ckpt / "checkpoint.yaml").write_text("epoch: 0\n")
+    lg.on_model_save(last=ckpt, epoch=5, fitness=0.3, best=True)
+    # wandb artifact landed
+    assert lg.wandb.artifacts and lg.wandb.artifacts[0][0].metadata["epoch"] == 5
+    # comet model registry landed
+    assert comet_exp.models and comet_exp.models[0][0] == "yolov3_tpu"
+    assert comet_exp.models[0][2]["best"] is True
+
+
+def test_comet_resume_downloads_checkpoint_and_opt(monkeypatch, tmp_path):
+    assets = {
+        "a1": ("last.ckpt", b"WEIGHTS", True),
+        "a2": ("opt.yaml", b"epochs: 7\nimgsz: 320\n", False),
+    }
+    _install_fake_comet(monkeypatch, api_experiment=_FakeCometAPIExperiment(assets))
+    monkeypatch.chdir(tmp_path)
+    from yolov3_tpu.utils.loggers.comet_utils import check_comet_resume
+
+    assert check_comet_resume("runs/exp") is None  # non-comet specs pass through
+    out = check_comet_resume("comet://ws/proj/exp1")
+    assert out["weights"].read_bytes() == b"WEIGHTS"
+    assert out["opt"] == {"epochs": 7, "imgsz": 320}
+
+
+def test_comet_hpo_sweep(monkeypatch):
+    sweep = [{"lr0": 0.01, "momentum": 0.9}, {"lr0": 0.02, "momentum": 0.95}]
+    _install_fake_comet(monkeypatch, sweep_params=sweep)
+    from yolov3_tpu.utils.loggers.comet_utils import run_comet_sweep
+
+    seen = []
+
+    def train_fn(params, experiment):
+        seen.append(params)
+        return params["lr0"] * 10  # fake fitness
+
+    cfg = {"algorithm": "bayes", "parameters": {"lr0": {}, "momentum": {}},
+           "spec": {"metric": "fitness"}}
+    results = run_comet_sweep(cfg, train_fn)
+    assert seen == sweep
+    assert [f for _, f in results] == [pytest.approx(0.1), pytest.approx(0.2)]
+
+
+def test_clearml_dataset_version_loading(monkeypatch, tmp_path):
+    root = tmp_path / "dsroot"
+    (root / "images" / "train").mkdir(parents=True)
+    (root / "images" / "val").mkdir(parents=True)
+    (root / "data.yaml").write_text(
+        "train: images/train\nval: images/val\nnames: [cat, dog]\n"
+    )
+    _install_fake_clearml(monkeypatch, dataset_root=root)
+    from yolov3_tpu.data.dataset_yaml import check_dataset
+
+    out = check_dataset("clearml://ds42", autodownload=False)
+    assert out["nc"] == 2 and out["names"] == {0: "cat", 1: "dog"}
+    assert Path(out["val"]).exists() and Path(out["val"]) == root / "images" / "val"
+
+
+def test_clearml_debug_samples_and_boxes(monkeypatch, tmp_path):
+    import cv2
+
+    _, task = _install_fake_clearml(monkeypatch, dataset_root=tmp_path)
+    from yolov3_tpu.utils.loggers.clearml_utils import log_debug_samples, log_image_with_boxes
+
+    f0 = tmp_path / "val_batch0_pred.jpg"
+    f2 = tmp_path / "val_batch2_labels.jpg"
+    im = np.full((64, 64, 3), 128, np.uint8)
+    cv2.imwrite(str(f0), im)
+    cv2.imwrite(str(f2), im)
+    log_debug_samples(task, [f0, f2, tmp_path / "missing.jpg"], "Validation")
+    assert [x["iteration"] for x in task.get_logger().images] == [0, 2]
+    assert task.get_logger().images[0]["series"] == "val_pred.jpg"
+
+    boxes = [[4, 4, 40, 40, 0.9, 1], [2, 2, 10, 10, 0.1, 0]]  # second below conf
+    log_image_with_boxes(task, f0, boxes, {0: "cat", 1: "dog"}, conf_threshold=0.25, iteration=3)
+    last = task.get_logger().images[-1]
+    assert last["title"] == "Bounding Boxes" and last["iteration"] == 3 and last["has_array"]

@@ -79,6 +79,18 @@ def main(opt=None):
         initialize_distributed(opt.coordinator, opt.num_processes, opt.process_id)
     print_args(vars(opt))
     save_dir = None
+    if isinstance(opt.resume, str) and opt.resume.startswith("comet://"):
+        # remote resume: pull the experiment's checkpoint + saved opt through
+        # the Comet API (reference train.py:642 via comet_utils.check_comet_resume)
+        from yolov3_tpu.utils.loggers.comet_utils import check_comet_resume
+
+        restored = check_comet_resume(opt.resume)
+        assert restored and restored["weights"], f"comet resume found no checkpoint: {opt.resume}"
+        opt.weights = str(restored["weights"])
+        for k, v in (restored["opt"] or {}).items():  # re-hydrate saved flags
+            if hasattr(opt, k) and k not in ("resume", "weights"):
+                setattr(opt, k, v)
+        opt.resume = False
     if opt.resume:  # locate the latest run's dir (reference train.py:642-654)
         if isinstance(opt.resume, str) and Path(opt.resume).exists():
             save_dir = Path(opt.resume)

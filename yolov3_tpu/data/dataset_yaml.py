@@ -19,7 +19,13 @@ from yolov3_tpu.utils.general import DATASETS_DIR, LOGGER, yaml_load
 
 def check_dataset(data, autodownload=True):
     """Resolve + validate a dataset YAML (path or dict). Returns the dict with
-    absolute train/val/test paths and a names {id: name} map."""
+    absolute train/val/test paths and a names {id: name} map. A
+    `clearml://<dataset_id>` spec resolves through the ClearML dataset-version
+    store first (reference utils/loggers/clearml/clearml_utils.py:21-60)."""
+    if isinstance(data, str) and data.startswith("clearml://"):
+        from yolov3_tpu.utils.loggers.clearml_utils import construct_dataset
+
+        data = construct_dataset(data)
     if isinstance(data, (str, Path)):
         data = yaml_load(data)
     data = dict(data)

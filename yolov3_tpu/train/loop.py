@@ -335,7 +335,8 @@ def train(
                 save_checkpoint(wdir / "best", host_state, spec=model.spec, meta=meta)
             if save_period > 0 and epoch % save_period == 0:
                 save_checkpoint(wdir / f"epoch{epoch}", host_state, spec=model.spec, meta=meta)
-            callbacks.run("on_model_save", epoch=epoch, last=str(wdir / "last"))
+            callbacks.run("on_model_save", epoch=epoch, last=str(wdir / "last"),
+                          fitness=float(fi), best=bool(fi >= best_fitness))
 
         if stopper(epoch, fi):
             LOGGER.info(f"EarlyStopping: no improvement in {patience} epochs, stopping at epoch {epoch}")

@@ -145,15 +145,38 @@ class Loggers:
         files = [self.save_dir / n for n in
                  ("PR_curve.png", "F1_curve.png", "P_curve.png", "R_curve.png", "confusion_matrix.png")]
         files += sorted(self.save_dir.glob("val_batch*.jpg"))
-        self._log_image_files([f for f in files if f.exists()], "Validation", epoch)
+        files = [f for f in files if f.exists()]
+        self._log_image_files(files, "Validation", epoch)
+        if self.clearml and files:
+            try:
+                from yolov3_tpu.utils.loggers.clearml_utils import log_debug_samples
 
-    def on_model_save(self, last=None, epoch=0, final=False):
-        """Checkpoint notifications to experiment trackers (reference
-        loggers/__init__.py:178-190; orbax dirs logged by path, not uploaded)."""
-        if self.wandb and last:
-            self.wandb.log({"model/checkpoint": str(last), "epoch": epoch})
-        if self.comet and last:
-            self.comet.log_other(f"checkpoint_epoch_{epoch}", str(last))
+                log_debug_samples(self.clearml, files, "Validation")
+            except Exception as e:  # noqa: BLE001
+                LOGGER.warning(f"ClearML debug samples failed: {e}")
+
+    def on_model_save(self, last=None, epoch=0, final=False, fitness=0.0, best=False):
+        """Checkpoint artifacts to experiment trackers (reference
+        loggers/__init__.py:178-190, wandb_utils.py log_model,
+        comet_utils.py log_model)."""
+        if not last:
+            return
+        if self.wandb:
+            try:
+                from yolov3_tpu.utils.loggers.wandb_utils import log_model as wandb_log_model
+
+                self.wandb.log({"model/checkpoint": str(last), "epoch": epoch})
+                wandb_log_model(self.wandb, last, epoch=epoch, fitness=fitness, best=best or final)
+            except Exception as e:  # noqa: BLE001
+                LOGGER.warning(f"W&B model artifact failed: {e}")
+        if self.comet:
+            try:
+                from yolov3_tpu.utils.loggers.comet_utils import log_model as comet_log_model
+
+                self.comet.log_other(f"checkpoint_epoch_{epoch}", str(last))
+                comet_log_model(self.comet, last, epoch=epoch, fitness=fitness, best=best or final)
+            except Exception as e:  # noqa: BLE001
+                LOGGER.warning(f"Comet model artifact failed: {e}")
 
     def on_train_end(self, results_csv=None):
         if results_csv and Path(results_csv).exists() and self.plots:
@@ -212,7 +235,8 @@ class Loggers:
         )
         callbacks.register_action(
             "on_model_save", "loggers",
-            lambda last=None, epoch=0, final=False, **kw: self.on_model_save(last, epoch, final),
+            lambda last=None, epoch=0, final=False, fitness=0.0, best=False, **kw:
+                self.on_model_save(last, epoch, final, fitness, best),
         )
         callbacks.register_action("on_train_end", "loggers", lambda **kw: self.on_train_end(self.csv_file))
         return callbacks
