@@ -82,7 +82,7 @@ def _plant_detections(variables, obj_deltas, obj_gains=None, cls_bump=12.0):
 
 
 def main(model_name="yolov3", imgsz=640, batch=128, iters=8, dtype="bfloat16",
-         with_planted=True, with_h2d=True, with_train=True):
+         with_planted=True, with_h2d=True, with_train=True, s2d_stem=False):
     extra = {}
     if with_train:
         # the train step at bs128 needs nearly the whole HBM: run it in its own
@@ -113,7 +113,7 @@ def main(model_name="yolov3", imgsz=640, batch=128, iters=8, dtype="bfloat16",
     from yolov3_tpu.ops.nms import nms_from_candidates
 
     jdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
-    model = DetectionModel.from_config(model_name, imgsz=64, dtype=jdtype)
+    model = DetectionModel.from_config(model_name, imgsz=64, dtype=jdtype, s2d_stem=s2d_stem)
     model = model.fuse()  # fold BN into conv weights (inference form)
     if dtype == "bfloat16":  # cast once — not per scan iteration
         model = model.replace_variables(cast_variables_for_inference(model.variables))
@@ -318,10 +318,12 @@ if __name__ == "__main__":
     p.add_argument("--no-h2d", action="store_true")
     p.add_argument("--no-train", action="store_true")
     p.add_argument("--train-only", action="store_true")
+    p.add_argument("--s2d-stem", action="store_true")
     a = p.parse_args()
     if a.train_only:
         v = _train_throughput(a.model, a.imgsz)
         print(json.dumps({"train_img_s": round(v, 2)}))
     else:
         main(a.model, a.imgsz, a.batch, a.iters, a.dtype,
-             with_planted=not a.no_planted, with_h2d=not a.no_h2d, with_train=not a.no_train)
+             with_planted=not a.no_planted, with_h2d=not a.no_h2d, with_train=not a.no_train,
+             s2d_stem=a.s2d_stem)

@@ -99,3 +99,24 @@ def test_autobatch_minus_one_resolves():
     b = check_train_batch_size(m, imgsz=64, candidates=(8, 4, 2, 1))
     assert b in (8, 4, 2, 1)
     assert "check_train_batch_size" in inspect.getsource(loop.train)
+
+
+def test_check_requirements_and_online():
+    """check_requirements (reference general.py check_requirements analog):
+    satisfied specs pass, unmet version pins and absent packages are reported;
+    auto-install degrades to a warning offline (zero-egress)."""
+    from yolov3_tpu.utils.checks import check_online, check_requirements
+
+    assert check_requirements(["numpy", "numpy>=1.0"]) == []
+    missing = check_requirements(
+        ["numpy>=999.0", "definitely_not_a_real_pkg_xyz", "numpy"], install=False
+    )
+    assert missing == ["numpy>=999.0", "definitely_not_a_real_pkg_xyz"]
+    # exclusions skip checking entirely
+    assert check_requirements(["definitely_not_a_real_pkg_xyz"],
+                              exclude=("definitely_not_a_real_pkg_xyz",)) == []
+    # the online probe must answer (False in this zero-egress image) fast
+    import time
+    t0 = time.time()
+    online = check_online(timeout=1.0)
+    assert isinstance(online, bool) and time.time() - t0 < 10

@@ -111,6 +111,6 @@ def test_dryrun_multichip_subprocess():
         f"import sys; sys.path.insert(0, {str(REPO)!r}); "
         "import __graft_entry__ as g; g.dryrun_multichip(8)"
     )
-    r = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, timeout=600)
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, timeout=1500)
     assert r.returncode == 0, r.stderr[-4000:]
     assert "one sharded train step OK" in r.stdout

@@ -47,3 +47,85 @@ def check_version(current, minimum, name="version", hard=False):
     if hard:
         assert ok, f"{name} {minimum} required, found {current}"
     return ok
+
+
+def check_online(timeout=2.0):
+    """True when the host can reach the internet (reference general.py
+    check_online). Zero-egress environments return False fast."""
+    import socket
+
+    for host in ("1.1.1.1", "8.8.8.8"):
+        try:
+            socket.create_connection((host, 53), timeout=timeout).close()
+            return True
+        except OSError:
+            continue
+    return False
+
+
+def check_requirements(requirements=("numpy",), exclude=(), install=None, cmds=""):
+    """Verify installed packages satisfy requirement specs; optionally
+    auto-install what's missing (reference utils/general.py check_requirements
+    via ultralytics checks). Auto-install runs only when `install` is truthy
+    (default: the YOLOV3_AUTOINSTALL env var, on by default like the
+    reference's AUTOINSTALL) AND the host is online — in a zero-egress image
+    it degrades to a warning, never a crash.
+
+    Returns the list of requirement strings that remain unsatisfied."""
+    import os
+    import re
+    from importlib import metadata
+
+    if isinstance(requirements, (str, bytes)):
+        requirements = [requirements]
+    if install is None:
+        install = os.environ.get("YOLOV3_AUTOINSTALL", "true").lower() == "true"
+
+    missing = []
+    for r in requirements:
+        name = re.split(r"[><=!~\[ ]", str(r), 1)[0].strip()
+        if not name or name in exclude:
+            continue
+        spec = str(r)[len(name):].strip()
+        try:
+            have = metadata.version(name)
+        except metadata.PackageNotFoundError:
+            missing.append(str(r))
+            continue
+        m = re.match(r"(>=|==|<=|>|<)\s*([\w.]+)", spec)
+        if m:
+            op, want = m.groups()
+            ok = {
+                ">=": check_version(have, want),
+                ">": have != want and check_version(have, want),
+                "==": have == want,
+                "<=": not check_version(have, want) or have == want,
+                "<": not check_version(have, want) and have != want,
+            }[op]
+            if not ok:
+                missing.append(str(r))
+
+    if not missing:
+        return []
+    s = " ".join(f'"{x}"' for x in missing)
+    if install and check_online():
+        LOGGER.info(f"requirements: {len(missing)} missing, attempting auto-install: {s} {cmds}")
+        import subprocess
+
+        try:
+            out = subprocess.run(
+                ["python", "-m", "pip", "install", "--no-input", *missing],
+                capture_output=True, text=True, timeout=600,
+            )
+            if out.returncode == 0:
+                LOGGER.info(f"requirements: installed {s}")
+                return []
+            LOGGER.warning(f"requirements: auto-install failed:\n{out.stderr[-500:]}")
+        except Exception as e:  # noqa: BLE001
+            LOGGER.warning(f"requirements: auto-install error: {e}")
+    else:
+        LOGGER.warning(
+            f"requirements: missing {s} (auto-install "
+            f"{'disabled' if not install else 'skipped: offline'})"
+        )
+    return missing
