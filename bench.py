@@ -25,6 +25,10 @@ Methodology (one JSON line, extra keys document the full story):
  - train_img_s: flagship train-step throughput (bs 128, segmented remat — the
    docs/PERF.md config), N steps in one lax.scan. Driver-visible so train
    regressions are caught, not just inference.
+ - latency_bs1_ms: single-image e2e device latency on the space-to-depth
+   serving model (the BASELINE.md p50-latency north star; serve.py
+   auto-selects the s2d stem for small-bucket pipelines — docs/PERF.md
+   round-3 trace work: bs1 forward -34% vs the plain layout).
 
 Baseline context (BASELINE.md): the reference snapshot publishes no benchmark
 table; the driver's north star is >=3x A100 images/s/chip. vs_baseline is
@@ -82,7 +86,8 @@ def _plant_detections(variables, obj_deltas, obj_gains=None, cls_bump=12.0):
 
 
 def main(model_name="yolov3", imgsz=640, batch=128, iters=8, dtype="bfloat16",
-         with_planted=True, with_h2d=True, with_train=True, s2d_stem=False):
+         with_planted=True, with_h2d=True, with_train=True, s2d_stem=False,
+         with_latency=True):
     extra = {}
     if with_train:
         # the train step at bs128 needs nearly the whole HBM: run it in its own
@@ -225,6 +230,46 @@ def main(model_name="yolov3", imgsz=640, batch=128, iters=8, dtype="bfloat16",
             planted_overflow_frac=round(float(ov_planted.mean()), 4),
         )
 
+    if with_latency:
+        # p50-style serving latency (BASELINE.md north-star): bs1 e2e device
+        # time (normalize -> forward -> decode -> NMS) on the s2d-stem serving
+        # model — the small-batch regime where the space-to-depth region wins
+        # 34% of forward (docs/PERF.md); serve.py auto-selects it there too.
+        from yolov3_tpu.models.detection import s2d_eligible
+
+        lat_module = module
+        lat_vars = model.variables
+        if s2d_eligible(model.spec) and not s2d_stem:
+            lat_model = DetectionModel(model.spec, model.variables, jdtype,
+                                       fused=True, s2d_stem=True)
+            lat_module = lat_model.serving_module()
+
+        def one_image(imgs):
+            x = imgs.astype(jdtype) / 255.0
+            feats = lat_module.apply(lat_vars, x, train=False)
+            b, s, c, _ = decode_topk_nhwc(feats, anchors, strides, k_per_scale=k_per_scale,
+                                          conf_thres=0.25, with_overflow=True)
+            return nms_from_candidates(b, s, c, iou_thres=0.45, max_det=300, use_pallas=True)
+
+        @jax.jit
+        def lat_pipeline(all_imgs):  # (N, 1, H, W, 3)
+            def body(_, im):
+                return 0, one_image(im)
+
+            _, (dets, n) = jax.lax.scan(body, 0, all_imgs)
+            return dets, n
+
+        lat_iters = 32
+        lat_imgs = jax.device_put(
+            rng.integers(0, 255, size=(lat_iters, 1, imgsz, imgsz, 3), dtype=np.uint8))
+        np.asarray(lat_pipeline(lat_imgs)[1])  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(lat_pipeline(lat_imgs)[1])
+            best = min(best, (time.perf_counter() - t0) / lat_iters)
+        extra["latency_bs1_ms"] = round(best * 1e3, 2)
+
     if with_h2d:
         # H2D-inclusive: per-batch jit, next batch's device_put overlaps the
         # current batch's compute via async dispatch (double buffering)
@@ -319,6 +364,7 @@ if __name__ == "__main__":
     p.add_argument("--no-train", action="store_true")
     p.add_argument("--train-only", action="store_true")
     p.add_argument("--s2d-stem", action="store_true")
+    p.add_argument("--no-latency", action="store_true")
     a = p.parse_args()
     if a.train_only:
         v = _train_throughput(a.model, a.imgsz)
@@ -326,4 +372,4 @@ if __name__ == "__main__":
     else:
         main(a.model, a.imgsz, a.batch, a.iters, a.dtype,
              with_planted=not a.no_planted, with_h2d=not a.no_h2d, with_train=not a.no_train,
-             s2d_stem=a.s2d_stem)
+             s2d_stem=a.s2d_stem, with_latency=not a.no_latency)

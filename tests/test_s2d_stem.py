@@ -8,6 +8,12 @@ layout (B,H/2,W/2,128) — exactly 128 lanes — and the second consumes it via 
 scattered 2x2 kernel. Same parameter tree, mathematically the same function
 (precedent for the layout trick: reference models/common.py:413-421 Focus).
 
+Round 3 extends this to the full l0..l3 REGION on darknet stems (yolov3/spp):
+l1 emits s2d-of-320 (the "down" mode), the l2 Bottleneck runs grouped-1x1 +
+scattered-3x3 entirely in s2d layout, and l3's "in" mode returns to standard
+layout — every activation in the region carries >=128 lanes. The fixture here
+engages the region automatically, so all parity assertions below cover it.
+
 These tests pin exactness against the plain stem on shared weights: eval
 forward, train forward incl. BatchNorm batch-stats updates, fused (BN-folded)
 inference, and gradients.
@@ -63,13 +69,14 @@ def test_train_forward_and_bn_stats_parity(pair):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-4, rtol=1e-4)
     # the stem layers' updated running stats must agree (the grouped BN reduces
     # over (batch, space, offset) == the plain BN's (batch, space) population)
-    for layer in ("l0", "l1"):
+    for layer in ("l0", "l1", ("l2", "cv1"), ("l2", "cv2"), "l3"):
         for stat in ("mean", "var"):
-            np.testing.assert_allclose(
-                np.asarray(mut_s["batch_stats"][layer]["bn"][stat]),
-                np.asarray(mut_p["batch_stats"][layer]["bn"][stat]),
-                atol=1e-5, rtol=1e-4,
-            )
+            bp, bs = mut_p["batch_stats"], mut_s["batch_stats"]
+            if isinstance(layer, tuple):
+                a, b = bp[layer[0]][layer[1]]["bn"][stat], bs[layer[0]][layer[1]]["bn"][stat]
+            else:
+                a, b = bp[layer]["bn"][stat], bs[layer]["bn"][stat]
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-4)
 
 
 def test_fused_forward_parity(pair):
@@ -95,10 +102,16 @@ def test_gradient_parity(pair):
 
     g_p = jax.grad(loss)(plain.params, plain)
     g_s = jax.grad(loss)(s2d.params, s2d)
-    for layer in ("l0", "l1"):  # the transformed layers; downstream grads follow from fwd parity
+    # every transformed layer of the s2d region; downstream grads follow from fwd parity
+    for ga, gb in (
+        (g_p["l0"]["conv"], g_s["l0"]["conv"]),
+        (g_p["l1"]["conv"], g_s["l1"]["conv"]),
+        (g_p["l2"]["cv1"]["conv"], g_s["l2"]["cv1"]["conv"]),
+        (g_p["l2"]["cv2"]["conv"], g_s["l2"]["cv2"]["conv"]),
+        (g_p["l3"]["conv"], g_s["l3"]["conv"]),
+    ):
         np.testing.assert_allclose(
-            np.asarray(g_s[layer]["conv"]["kernel"]),
-            np.asarray(g_p[layer]["conv"]["kernel"]),
+            np.asarray(gb["kernel"]), np.asarray(ga["kernel"]),
             atol=5e-2, rtol=1e-3,  # large-magnitude sums: relative agreement is what matters
         )
 
@@ -106,3 +119,20 @@ def test_gradient_parity(pair):
 def test_rejects_incompatible_stem():
     with pytest.raises(ValueError):
         DetectionModel.from_config("yolov3-tiny", imgsz=64, s2d_stem=True)
+
+
+def test_serve_auto_s2d_rule(pair):
+    """serve.build_pipeline engages the s2d stem exactly for small-bucket
+    fast pipelines on eligible archs (the measured latency-win regime)."""
+    from yolov3_tpu.serve import build_pipeline
+
+    plain, _ = pair
+    on = build_pipeline(plain, imgsz=640, max_batch=8, fast=True)
+    assert on.batcher.infer.s2d is True
+    off_big = build_pipeline(plain, imgsz=640, max_batch=64, fast=True)
+    assert off_big.batcher.infer.s2d is False
+    off_slow = build_pipeline(plain, imgsz=640, max_batch=8, fast=False)
+    assert getattr(off_slow.batcher.infer, "s2d", False) is False
+    tiny = DetectionModel.from_config("yolov3-tiny", imgsz=64)
+    off_arch = build_pipeline(tiny, imgsz=640, max_batch=8, fast=True)
+    assert off_arch.batcher.infer.s2d is False

@@ -50,6 +50,29 @@ class YOLOGraph(nn.Module):
     remat_segment: int = 6  # layers per checkpoint segment (saved state = segment boundaries)
     s2d_stem: bool = False  # space-to-depth stem: never materialize the 32-ch full-res activation
 
+    def _s2d_modes(self):
+        """Layer-index -> s2d mode map for the space-to-depth region.
+
+        When layers 0..3 match darknet's [Conv k3s1, Conv k3s2, Bottleneck n1,
+        Conv k3s2] prefix (yolov3/yolov3-spp) and none of l0..l2 are routed
+        elsewhere, the WHOLE region runs in s2d layout — every activation
+        carries >=128 lanes, eliminating the (8,128)-tile channel padding
+        that makes the plain stem ~45% of forward time at 8% of FLOPs
+        (docs/PERF.md round-3 trace). Otherwise falls back to the stem-pair
+        transform (l0 "out", l1 "in")."""
+        L = self.spec.layers
+        region_ok = (
+            len(L) > 4
+            and L[0].op == "Conv" and tuple(L[0].args[1:3]) == (3, 1)
+            and L[1].op == "Conv" and tuple(L[1].args[1:3]) == (3, 2)
+            and L[2].op == "Bottleneck" and L[2].n == 1
+            and L[3].op == "Conv" and tuple(L[3].args[1:3]) == (3, 2)
+            and not any(i in self.spec.save for i in (0, 1, 2))
+        )
+        if region_ok:
+            return {0: "out", 1: "down", 2: "bottleneck", 3: "in"}
+        return {0: "out", 1: "in"}
+
     def _run_layers(self, layers, out, y, prev_i, train):
         """Execute a run of non-Detect layers; returns (out, y, prev_i)."""
         spec = self.spec
@@ -66,8 +89,10 @@ class YOLOGraph(nn.Module):
                 kwargs["dtype"] = self.dtype
             if self.fused and "fused" in fields:
                 kwargs["fused"] = True
-            if self.s2d_stem and ls.i in (0, 1) and "s2d_mode" in fields:
-                kwargs["s2d_mode"] = "out" if ls.i == 0 else "in"
+            if self.s2d_stem and ls.i in self._s2d_modes():
+                mode = self._s2d_modes()[ls.i]
+                kwargs["s2d" if mode == "bottleneck" else "s2d_mode"] = (
+                    True if mode == "bottleneck" else mode)
             if ls.n == 1:
                 inp = cls(*ls.args, name=f"l{ls.i}", **kwargs)(inp, train)
             else:  # stacked repeats (reference yolo.py:370)
@@ -143,13 +168,10 @@ class DetectionModel:
                     imgsz=256, s2d_stem=False):
         """Build with random init from a YAML config / name / dict (reference yolo.py:193-231)."""
         spec = parse_spec(cfg, ch=ch, nc=nc, anchors=anchors)
-        if s2d_stem:
+        if s2d_stem and not s2d_eligible(spec):
             l0, l1 = spec.layers[0], spec.layers[1]
-            ok = (l0.op == "Conv" and tuple(l0.args[1:3]) == (3, 1)
-                  and l1.op == "Conv" and tuple(l1.args[1:3]) == (3, 2))
-            if not ok:
-                raise ValueError(f"s2d_stem needs a [Conv k3 s1, Conv k3 s2] stem; {spec.name} has "
-                                 f"[{l0.op}{l0.args}, {l1.op}{l1.args}]")
+            raise ValueError(f"s2d_stem needs a [Conv k3 s1, Conv k3 s2] stem; {spec.name} has "
+                             f"[{l0.op}{l0.args}, {l1.op}{l1.args}]")
         module = YOLOGraph(spec=spec, dtype=dtype, s2d_stem=s2d_stem)
         if key is None:
             key = jax.random.PRNGKey(0)
@@ -218,6 +240,15 @@ class DetectionModel:
 
         return DetectionModel(self.spec, fuse_variables(self.variables), self.dtype, self.names,
                               fused=True, s2d_stem=self.s2d_stem)
+
+
+def s2d_eligible(spec) -> bool:
+    """True when the arch's stem supports the space-to-depth transform
+    ([Conv k3 s1, Conv k3 s2] prefix — yolov3/yolov3-spp; tiny's maxpool stem
+    does not). See YOLOGraph._s2d_modes for the full-region upgrade."""
+    l0, l1 = spec.layers[0], spec.layers[1]
+    return (l0.op == "Conv" and tuple(l0.args[1:3]) == (3, 1)
+            and l1.op == "Conv" and tuple(l1.args[1:3]) == (3, 2))
 
 
 def build_model(cfg="yolov3-tiny", **kw) -> DetectionModel:

@@ -94,6 +94,30 @@ class _GroupedBatchNorm(nn.Module):
         return y.reshape(b_, h_, w_, ch)
 
 
+def _scatter_s2d_same(kernel, c1, c2):
+    """Scatter a canonical (3,3,c1,c2) stride-1 kernel into the dense
+    (3,3,4c1,4c2) form that computes all four output phases of a 3x3 s1 conv
+    directly in s2d layout (offset-major phase blocks). For output phase
+    (a,b), tap (du,dv) lands at s2d spatial offset ((a+du)//2, (b+dv)//2)
+    and input phase ((a+du)%2, (b+dv)%2). No (tap -> slot) collisions: for a
+    fixed output phase, the three du values map to distinct (offset, phase)
+    pairs. Unused slots stay zero (25% density — the MXU eats the zeros far
+    faster than the lane-padded plain layout pays for its 4x HBM bytes)."""
+    w4 = jnp.zeros((3, 3, 4 * c1, 4 * c2), dtype=kernel.dtype)
+    for a in range(2):
+        for du in (-1, 0, 1):
+            rr, pr = (a + du) // 2 + 1, (a + du) % 2
+            for b in range(2):
+                for dv in (-1, 0, 1):
+                    cc, pc = (b + dv) // 2 + 1, (b + dv) % 2
+                    w4 = w4.at[
+                        rr, cc,
+                        (pr * 2 + pc) * c1 : (pr * 2 + pc + 1) * c1,
+                        (a * 2 + b) * c2 : (a * 2 + b + 1) * c2,
+                    ].set(kernel[du + 1, dv + 1])
+    return w4
+
+
 class Conv(nn.Module):
     """Conv2d (no bias) + BatchNorm + activation (reference common.py:57-82).
 
@@ -130,6 +154,12 @@ class Conv(nn.Module):
             return self._s2d_out(x, train)
         if self.s2d_mode == "in":
             return self._s2d_in(x, train)
+        if self.s2d_mode == "s2s":
+            return self._s2d_s2s(x, train)
+        if self.s2d_mode == "down":
+            return self._s2d_down(x, train)
+        if self.s2d_mode == "g1x1":
+            return self._s2d_g1x1(x, train)
         pad = autopad(self.k, self.p, self.d)
         pad = [(pad, pad), (pad, pad)] if isinstance(pad, int) else [(p, p) for p in pad]
         x = nn.Conv(
@@ -150,31 +180,98 @@ class Conv(nn.Module):
             )(x)
         return get_activation(self.act)(x)
 
+    def _s2d_finish(self, y, bias, train):
+        """Shared bias/BN/act tail for modes emitting s2d layout (4*c2 chans)."""
+        if self.fused:
+            y = y + jnp.tile(bias, 4).astype(self.dtype)
+        else:
+            y = _GroupedBatchNorm(self.c2, dtype=self.dtype, name="bn")(y, train)
+        return get_activation(self.act)(y)
+
     def _s2d_out(self, x, train):
-        """y = s2d(act(bn(conv3x3_s1(x)))): four shared-kernel stride-2 convs,
-        one per 2x2 offset — each output row y[..., (a*2+b)*c2:+c2] equals the
-        plain conv output at pixels (2i+a, 2j+b)."""
+        """y = s2d(act(bn(conv3x3_s1(x)))) as ONE stride-2 conv on the raw
+        input: output phase (a,b) at s2d pos (i,j) is the plain conv at pixel
+        (2i+a, 2j+b), whose 3x3 taps span input rows 2i-1..2i+2 — a 4x4
+        window at stride 2. The (4,4,c1,4c2) kernel scatters the canonical
+        (3,3,c1,c2) kernel as W[a+du+1, b+dv+1, :, (a*2+b)c2+co]. The input
+        is read once in its natural layout (no explicit space-to-depth
+        rearrange — an earlier version materialized the transposed u8 tensor
+        and paid 8.8 ms of lane-padded copies at bs32, docs/PERF.md) and the
+        output carries 4*c2 >= 128 lanes, so no tile padding on the write."""
         assert self.k == 3 and self.s == 1 and self.g == 1 and self.d == 1
         b_, h_, w_, c1 = x.shape
         assert h_ % 2 == 0 and w_ % 2 == 0, "s2d stem needs even input dims"
         kernel, bias = _ConvParams(self.c2, (3, 3, c1), use_bias=self.fused, name="conv")()
         kernel = kernel.astype(self.dtype)
         x = x.astype(self.dtype)
-        dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
-        outs = []
+        w4 = jnp.zeros((4, 4, c1, 4 * self.c2), dtype=kernel.dtype)
         for a in range(2):
             for b in range(2):
-                outs.append(
-                    jax.lax.conv_general_dilated(
-                        x, kernel, (2, 2), ((1 - a, a), (1 - b, b)), dimension_numbers=dn
-                    )
-                )
-        y = jnp.concatenate(outs, axis=-1)  # (B, H/2, W/2, 4*c2), offset-major
-        if self.fused:
-            y = y + jnp.tile(bias, 4).astype(self.dtype)
-        else:
-            y = _GroupedBatchNorm(self.c2, dtype=self.dtype, name="bn")(y, train)
-        return get_activation(self.act)(y)
+                w4 = w4.at[
+                    a : a + 3, b : b + 3, :,
+                    (a * 2 + b) * self.c2 : (a * 2 + b + 1) * self.c2,
+                ].set(kernel)
+        dn = jax.lax.conv_dimension_numbers(x.shape, w4.shape, ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(x, w4, (2, 2), ((1, 1), (1, 1)), dimension_numbers=dn)
+        return self._s2d_finish(y, bias, train)
+
+    def _s2d_s2s(self, x, train):
+        """conv3x3_s1 with BOTH sides in s2d layout: the same scattered
+        (3,3,4c1,4c2) kernel as `_s2d_out`, minus the input rearrange."""
+        assert self.k == 3 and self.s == 1 and self.g == 1 and self.d == 1
+        c1 = x.shape[-1] // 4
+        kernel, bias = _ConvParams(self.c2, (3, 3, c1), use_bias=self.fused, name="conv")()
+        x = x.astype(self.dtype)
+        w4 = _scatter_s2d_same(kernel.astype(self.dtype), c1, self.c2)
+        dn = jax.lax.conv_dimension_numbers(x.shape, w4.shape, ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(x, w4, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn)
+        return self._s2d_finish(y, bias, train)
+
+    def _s2d_down(self, x, train):
+        """conv3x3_s2 from s2d-of-G to s2d-of-G/2 layout: output phase (a,b)
+        at pos (i,j) = the plain stride-2 conv at G/2-pos (2i+a, 2j+b), i.e.
+        centered on G-row 4i+2a; tap du reads s2d row 2i+(2a+du)//2 phase
+        du%2 — a (3,3,4c1,4c2) scattered kernel at stride 2, pad (1,0)."""
+        assert self.k == 3 and self.s == 2 and self.g == 1 and self.d == 1
+        c1 = x.shape[-1] // 4
+        assert x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0, "s2d down needs even s2d dims"
+        kernel, bias = _ConvParams(self.c2, (3, 3, c1), use_bias=self.fused, name="conv")()
+        kernel = kernel.astype(self.dtype)
+        x = x.astype(self.dtype)
+        w4 = jnp.zeros((3, 3, 4 * c1, 4 * self.c2), dtype=kernel.dtype)
+        for a in range(2):
+            for du in (-1, 0, 1):
+                rr, pr = (2 * a + du) // 2 + 1, du % 2
+                for b in range(2):
+                    for dv in (-1, 0, 1):
+                        cc, pc = (2 * b + dv) // 2 + 1, dv % 2
+                        w4 = w4.at[
+                            rr, cc,
+                            (pr * 2 + pc) * c1 : (pr * 2 + pc + 1) * c1,
+                            (a * 2 + b) * self.c2 : (a * 2 + b + 1) * self.c2,
+                        ].set(kernel[du + 1, dv + 1])
+        dn = jax.lax.conv_dimension_numbers(x.shape, w4.shape, ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(x, w4, (2, 2), ((1, 0), (1, 0)), dimension_numbers=dn)
+        return self._s2d_finish(y, bias, train)
+
+    def _s2d_g1x1(self, x, train):
+        """conv1x1 in s2d layout: one dense (1,1,4c1,4c2) conv whose kernel
+        is block-diagonal (phase p's input block maps to phase p's output
+        block through the canonical (1,1,c1,c2) kernel). A feature-grouped
+        conv is the obvious encoding but starves the MXU (64-deep contractions
+        per group ran at 7.7 TF/s); the dense block-diagonal form is a single
+        256-deep matmul and the MXU eats the zeros (scripts/s2d_probe.py)."""
+        assert self.k == 1 and self.s == 1 and self.g == 1 and self.d == 1
+        c1 = x.shape[-1] // 4
+        kernel, bias = _ConvParams(self.c2, (1, 1, c1), use_bias=self.fused, name="conv")()
+        kernel = kernel.astype(self.dtype)
+        x = x.astype(self.dtype)
+        w4 = jnp.zeros((1, 1, 4 * c1, 4 * self.c2), dtype=kernel.dtype)
+        for p in range(4):
+            w4 = w4.at[:, :, p * c1 : (p + 1) * c1, p * self.c2 : (p + 1) * self.c2].set(kernel)
+        dn = jax.lax.conv_dimension_numbers(x.shape, w4.shape, ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(x, w4, (1, 1), "VALID", dimension_numbers=dn)
+        return self._s2d_finish(y, bias, train)
 
     def _s2d_in(self, x, train):
         """conv3x3_s2 consuming the s2d layout: 2x2 conv with the 3x3 kernel
@@ -271,13 +368,16 @@ class Bottleneck(nn.Module):
     e: float = 0.5
     dtype: Any = jnp.float32
     fused: bool = False
+    s2d: bool = False  # both convs + residual stay in s2d layout (4x channel blocks)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        c1 = x.shape[-1]
+        c1 = x.shape[-1] // 4 if self.s2d else x.shape[-1]
         c_ = int(self.c2 * self.e)
-        y = Conv(c_, 1, 1, dtype=self.dtype, fused=self.fused, name="cv1")(x, train)
-        y = Conv(self.c2, 3, 1, g=self.g, dtype=self.dtype, fused=self.fused, name="cv2")(y, train)
+        kw1 = {"s2d_mode": "g1x1"} if self.s2d else {}
+        kw2 = {"s2d_mode": "s2s"} if self.s2d else {}
+        y = Conv(c_, 1, 1, dtype=self.dtype, fused=self.fused, name="cv1", **kw1)(x, train)
+        y = Conv(self.c2, 3, 1, g=self.g, dtype=self.dtype, fused=self.fused, name="cv2", **kw2)(y, train)
         return x + y if (self.shortcut and c1 == self.c2) else y
 
 

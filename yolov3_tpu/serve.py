@@ -41,7 +41,7 @@ from yolov3_tpu.utils.general import LOGGER
 
 
 def build_batched_infer(model, conf_thres=0.25, iou_thres=0.45, max_det=300, fast=True, mesh=None,
-                        k_per_scale=(256, 128, 64)):
+                        k_per_scale=(256, 128, 64), s2d=False):
     """Jitted ((B,H,W,3) uint8) -> ((B,max_det,6) dets, (B,) n).
 
     fast=True uses the bench serving path: BN-folded bf16 forward + fused
@@ -63,6 +63,17 @@ def build_batched_infer(model, conf_thres=0.25, iou_thres=0.45, max_det=300, fas
     from yolov3_tpu.ops.nms import batched_nms, nms_from_candidates
 
     full_model = model
+    if fast and s2d:
+        # small-batch latency lever: the space-to-depth stem region cuts the
+        # yolov3@640 forward 34%/21%/25% at bs1/8/32 on TPU but loses ~6% at
+        # bs>=64 where XLA's large-batch conv emitters already avoid the lane
+        # padding (docs/PERF.md round-3 traces) — callers enable it only for
+        # small max-batch pipelines (see build_pipeline's auto rule). Exact
+        # transform, same variables, so the full-decode fallback stays plain.
+        from yolov3_tpu.models.detection import DetectionModel
+
+        model = DetectionModel(model.spec, model.variables, model.dtype, model.names,
+                               fused=model.fused, s2d_stem=True)
     if fast:
         model = model.fuse()
         model = model.replace_variables(cast_variables_for_inference(model.variables))
@@ -117,6 +128,7 @@ def build_batched_infer(model, conf_thres=0.25, iou_thres=0.45, max_det=300, fas
         return dets, n
 
     infer.fast_jit, infer.full_jit = fast_jit, full_jit
+    infer.s2d = bool(s2d)
     return infer
 
 
@@ -213,8 +225,16 @@ def build_pipeline(model, imgsz=640, conf_thres=0.25, iou_thres=0.45, max_det=30
 
         mesh = create_mesh()
         min_bucket = mesh.devices.size
-    infer = build_batched_infer(model, conf_thres, iou_thres, max_det, fast=fast, mesh=mesh)
-    batcher = MicroBatcher(infer, max_batch=max(max_batch, min_bucket),
+    from yolov3_tpu.models.detection import s2d_eligible
+
+    top_bucket = max(max_batch, min_bucket)
+    # auto space-to-depth: a measured small-batch latency win (bs1 -34%,
+    # bs8 -21%, bs32 -25% forward; crossover ~bs48 — docs/PERF.md), so engage
+    # it exactly when every bucket this pipeline compiles sits below that.
+    s2d = fast and top_bucket <= 32 and imgsz % 4 == 0 and s2d_eligible(model.spec)
+    infer = build_batched_infer(model, conf_thres, iou_thres, max_det, fast=fast, mesh=mesh,
+                                s2d=s2d)
+    batcher = MicroBatcher(infer, max_batch=top_bucket,
                            batch_wait_ms=batch_wait_ms, min_bucket=min_bucket)
 
     def predict(im_bgr):
