@@ -154,12 +154,10 @@ def run(
                     dets[si, : len(d)] = d
             elif with_loss:  # loss folded into the same jitted program (no eager re-trace per batch)
                 dets, n_valid, comps = forward(variables, imgs_dev, targets, mask)
-                dets = np.asarray(jax.block_until_ready(dets))
-                n_valid = np.asarray(n_valid)
+                dets, n_valid = _fetch_valid(dets, n_valid, max_det)
             else:
                 dets, n_valid = forward(variables, imgs_dev)
-                dets = np.asarray(jax.block_until_ready(dets))
-                n_valid = np.asarray(n_valid)
+                dets, n_valid = _fetch_valid(dets, n_valid, max_det)
         if with_loss:
             loss_sum += np.asarray(comps)
             n_batches += 1
@@ -307,6 +305,16 @@ def _save_one_txt(pred, labels_dir, stem, h0w0, save_conf):
         vals = (int(row[5]), *xywh, row[4]) if save_conf else (int(row[5]), *xywh)
         lines.append(" ".join(f"{v:.6g}" for v in vals))
     (labels_dir / f"{stem}.txt").write_text("\n".join(lines) + ("\n" if lines else ""))
+
+
+def _fetch_valid(dets, n_valid, max_det):
+    """n-first device fetch: materialize the counts, then only the valid
+    score-sorted prefix dets[:, :n.max()] — every consumer reads
+    dets[si, :n_valid[si]], so the max_det tail is zero padding. Through a
+    slow D2H link the full (B, max_det, 6) fetch dominated val batch time
+    (scripts/fetch_overlap_probe.py: +25 ms/batch at bs128)."""
+    n_valid = np.asarray(n_valid)
+    return np.asarray(dets[:, : min(int(n_valid.max()), max_det)]), n_valid
 
 
 def _cached_forward(model, conf_thres, iou_thres, max_det, max_nms, loss_cfg=None, augment=False,

@@ -194,7 +194,13 @@ class MicroBatcher:
                 bucket = next(b for b in self.buckets if b >= len(items))
                 batch = np.stack([it[0] for it in items] + [items[-1][0]] * (bucket - len(items)))
                 dets, n = self.infer(batch)
-                dets, n = np.asarray(dets), np.asarray(n)
+                # n-first fetch: every waiter consumes dets[i, :n[i]] only and
+                # NMS rows are score-sorted valid-first, so fetch the counts,
+                # then just the valid prefix — the (max_det - n.max()) tail is
+                # zero padding (full fetch cost +25 ms/batch at bs128 through
+                # a slow D2H link; scripts/fetch_overlap_probe.py)
+                n = np.asarray(n)
+                dets = np.asarray(dets[:, : int(n.max())])
             except Exception as e:  # noqa: BLE001 — fail every waiter, not the server
                 for _, slot, ev in items:
                     slot["err"] = e
