@@ -114,3 +114,48 @@ def test_dryrun_multichip_subprocess():
     r = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, timeout=1500)
     assert r.returncode == 0, r.stderr[-4000:]
     assert "one sharded train step OK" in r.stdout
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_sharded_val_matches_plain(tmp_path):
+    """Data-parallel validation (val --sharded): identical metrics to the
+    single-device run, including a partial tail batch (10 images at bs 8 ->
+    the 2-image tail routes through the unsharded program)."""
+    import cv2
+
+    from yolov3_tpu.eval import validator
+    from yolov3_tpu.models.detection import DetectionModel
+
+    root = tmp_path / "ds"
+    (root / "images" / "val").mkdir(parents=True)
+    (root / "labels" / "val").mkdir(parents=True)
+    rng = np.random.default_rng(7)
+    for i in range(10):
+        im = np.full((96, 96, 3), 114, np.uint8)
+        w, h = rng.integers(24, 48, 2)
+        x1, y1 = int(rng.integers(0, 96 - w)), int(rng.integers(0, 96 - h))
+        cv2.rectangle(im, (x1, y1), (x1 + int(w), y1 + int(h)), (0, 0, 220), -1)
+        cv2.imwrite(str(root / "images" / "val" / f"{i:03d}.jpg"), im)
+        (root / "labels" / "val" / f"{i:03d}.txt").write_text(
+            f"0 {(x1 + w / 2) / 96:.6f} {(y1 + h / 2) / 96:.6f} {w / 96:.6f} {h / 96:.6f}\n")
+    data = {"path": str(root), "train": "images/val", "val": "images/val", "names": {0: "box"}}
+
+    spec = {
+        "nc": 1,
+        "anchors": [[12, 12, 20, 20, 32, 32], [48, 48, 64, 64, 96, 96]],
+        "layers": [
+            {"from": -1, "n": 1, "op": "Conv", "args": [8, 3, 2]},
+            {"from": -1, "n": 1, "op": "Conv", "args": [16, 3, 2]},
+            {"from": -1, "n": 1, "op": "Conv", "args": [16, 3, 2]},
+            {"from": -1, "n": 1, "op": "Conv", "args": [32, 3, 2]},
+            {"from": -1, "n": 1, "op": "Conv", "args": [32, 3, 2]},
+            {"from": [3, 4], "n": 1, "op": "Detect", "args": ["nc", "anchors"]},
+        ],
+    }
+    model = DetectionModel.from_config(spec, nc=1, imgsz=64)
+    kw = dict(data=data, model=model, batch_size=8, imgsz=64, conf_thres=1e-3,
+              rect=False, save_dir=tmp_path, plots=False)
+    (mp1, mr1, ap50_1, ap1, *_), _, _ = validator.run(**kw)
+    (mp8, mr8, ap50_8, ap8, *_), _, _ = validator.run(**kw, sharded=True)
+    np.testing.assert_allclose([mp8, mr8, ap50_8, ap8], [mp1, mr1, ap50_1, ap1],
+                               rtol=1e-5, atol=1e-7)

@@ -50,6 +50,7 @@ def run(
     project="runs/val",
     name="exp",
     exist_ok=False,
+    sharded=False,
 ):
     from yolov3_tpu.eval import validator  # deferred: backend init must follow --device
 
@@ -71,7 +72,7 @@ def run(
             iou_thres=iou_thres, max_det=max_det, task="val" if task == "speed" else task,
             single_cls=single_cls, augment=augment, verbose=verbose, save_json=save_json,
             save_txt=save_txt, save_conf=save_conf, save_hybrid=save_hybrid, half=half,
-            workers=workers, save_dir=save_dir,
+            workers=workers, save_dir=save_dir, sharded=sharded,
             plots=(task != "speed"),  # standalone val plots by default (reference val.py:192)
         )
         return results, maps, speeds
@@ -111,6 +112,9 @@ def parse_opt():
     parser.add_argument("--save-hybrid", action="store_true",
                         help="inject ground-truth boxes into NMS (hybrid autolabelling)")
     parser.add_argument("--half", action="store_true", help="bf16 inference (reference --half fp16 analog)")
+    parser.add_argument("--sharded", action="store_true",
+                        help="data-parallel validation over all local devices (GSPMD batch sharding; "
+                             "beyond the reference's single-GPU val.py)")
     parser.add_argument("--workers", type=int, default=1, help="dataloader decode threads")
     parser.add_argument("--device", default="", help="JAX platform, e.g. cpu or tpu (default: auto)")
     parser.add_argument("--project", default="runs/val")

@@ -13,6 +13,7 @@ multi-label NMS, rect pad 0.5 (reference val.py:196-199, 325).
 
 from __future__ import annotations
 
+import functools
 import json
 import time
 from pathlib import Path
@@ -56,6 +57,7 @@ def run(
     save_hybrid=False,
     workers=1,
     half=False,
+    sharded=False,
 ):
     """Evaluate `model` (a DetectionModel handle OR a MultiBackend wrapping any
     exported artifact — stablehlo/savedmodel/tflite, reference val.py:293 runs
@@ -103,11 +105,33 @@ def run(
 
     nms_iou = 0.45 if task == "speed" else iou_thres
     with_loss = bool(compute_loss_flag and loss_cfg is not None and is_native and not save_hybrid)
+    mesh = None
+    if sharded and is_native and jax.device_count() > 1:
+        from yolov3_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh()
     if is_native:
         forward = _cached_forward(
             model, conf_thres, nms_iou, max_det, max_nms,
             loss_cfg=loss_cfg if with_loss else None, augment=augment, decode_only=save_hybrid,
+            mesh=mesh,
         )
+        if mesh is not None:
+            ndev = mesh.devices.size
+            fwd_sharded, fwd_plain = forward, None
+
+            def forward(variables, imgs_u8, *rest, _s=[fwd_sharded, None]):
+                # partial tail batches (B % ndev != 0) run the unsharded
+                # program — exact, one extra (cached) compile at most
+                if imgs_u8.shape[0] % ndev == 0:
+                    return _s[0](variables, imgs_u8, *rest)
+                if _s[1] is None:
+                    _s[1] = _cached_forward(
+                        model, conf_thres, nms_iou, max_det, max_nms,
+                        loss_cfg=loss_cfg if with_loss else None, augment=augment,
+                        decode_only=save_hybrid,
+                    )
+                return _s[1](variables, imgs_u8, *rest)
     else:  # MultiBackend: decoded predictions from the artifact, NMS here
 
         def forward(_vars, imgs_u8):
@@ -132,7 +156,10 @@ def run(
     variables = getattr(model, "variables", None)
     for imgs, targets, mask, shapes in dataloader:
         with dt[0]:
-            imgs_dev = jax.device_put(imgs) if is_native else imgs
+            # sharded: keep the batch as host numpy — jit's in_shardings
+            # places it per-device; a device_put here would commit it to
+            # device 0 and conflict with the GSPMD placement
+            imgs_dev = jax.device_put(imgs) if (is_native and mesh is None) else imgs
         with dt[1]:
             if save_hybrid:  # apriori label injection -> host NMS (reference val.py:374)
                 from yolov3_tpu.ops.nms import non_max_suppression
@@ -318,18 +345,25 @@ def _fetch_valid(dets, n_valid, max_det):
 
 
 def _cached_forward(model, conf_thres, iou_thres, max_det, max_nms, loss_cfg=None, augment=False,
-                    decode_only=False):
+                    decode_only=False, mesh=None):
     """Jitted forward+decode+NMS (+ optional val loss / TTA), cached by
-    (module, nms params, loss_cfg, augment).
+    (module, nms params, loss_cfg, augment, mesh).
 
     The linen module is a frozen dataclass (spec/dtype/fused), so equal
     architectures share one jitted function — without this, per-epoch
     validation re-traced and re-COMPILED the whole model every epoch
     (minutes per compile through a remote-compile TPU runtime). The in-train
     val loss (reference val.py:367-368) runs INSIDE the same program: tracing
-    compute_loss eagerly per batch on host numpy was both slow and wasteful."""
+    compute_loss eagerly per batch on host numpy was both slow and wasteful.
+
+    With `mesh` the whole program is one GSPMD partition over the batch axis
+    (replicated params, batch-sharded inputs/detections) — data-parallel
+    validation across every local device, a capability the reference's
+    single-GPU val.py lacks (its DDP covers training only, train.py:680-683).
+    Callers route batches whose size the mesh doesn't divide to the
+    unsharded program instead (exactness over GSPMD's implicit padding)."""
     key = (model.module, float(conf_thres), float(iou_thres), int(max_det), int(max_nms), loss_cfg, augment,
-           decode_only)
+           decode_only, mesh)
     fn = _FORWARD_CACHE.get(key)
     if fn is None:
         module = model.module
@@ -345,7 +379,18 @@ def _cached_forward(model, conf_thres, iou_thres, max_det, max_nms, loss_cfg=Non
             feats = module.apply(variables, x, train=False)
             return decode_predictions(feats, anchors, strides)
 
-        @jax.jit
+        if mesh is None:
+            fwd_kw = loss_kw = dec_kw = {}
+        else:
+            from yolov3_tpu.parallel.mesh import batch_sharding, replicated
+
+            data, rep = batch_sharding(mesh), replicated(mesh)
+            fwd_kw = {"in_shardings": (rep, data), "out_shardings": (data, data)}
+            dec_kw = {"in_shardings": (rep, data), "out_shardings": data}
+            loss_kw = {"in_shardings": (rep, data, data, data),
+                       "out_shardings": (data, data, rep)}
+
+        @functools.partial(jax.jit, **fwd_kw)
         def forward(variables, imgs_u8):
             x = imgs_u8.astype(jax.numpy.float32) / 255.0
             pred = _pred(variables, x)
@@ -355,12 +400,12 @@ def _cached_forward(model, conf_thres, iou_thres, max_det, max_nms, loss_cfg=Non
             )
             return dets, n_valid
 
-        @jax.jit
+        @functools.partial(jax.jit, **dec_kw)
         def forward_decode(variables, imgs_u8):  # save_hybrid: NMS runs on host after label injection
             x = imgs_u8.astype(jax.numpy.float32) / 255.0
             return _pred(variables, x)
 
-        @jax.jit
+        @functools.partial(jax.jit, **loss_kw)
         def forward_with_loss(variables, imgs_u8, targets, tmask):
             x = imgs_u8.astype(jax.numpy.float32) / 255.0
             feats = module.apply(variables, x, train=False)

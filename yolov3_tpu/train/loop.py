@@ -314,6 +314,9 @@ def train(
                 data_dict, model=ema_model, batch_size=batch_size, imgsz=imgsz,
                 dataloader=val_loader, loss_cfg=loss_cfg, compute_loss_flag=True, names=names,
                 single_cls=single_cls, plots=(epoch == epochs - 1) and not noplots, save_dir=save_dir,
+                # data-parallel val over the training mesh's devices (the
+                # reference's DDP validates on rank 0 only, train.py:446)
+                sharded=mesh.devices.size > 1,
             )
             fi = float(np.asarray(fitness(np.array(results).reshape(1, -1))).reshape(-1)[0])
             callbacks.run("on_val_end", epoch=epoch)
