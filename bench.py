@@ -90,8 +90,8 @@ def _plant_detections(variables, obj_deltas, obj_gains=None, cls_bump=12.0):
 
 def main(model_name="yolov3", imgsz=640, batch=128, iters=8, dtype="bfloat16",
          with_planted=True, with_h2d=True, with_train=True, s2d_stem=False,
-         with_latency=True):
-    extra = {}
+         with_latency=True, _carry_extra=None):
+    extra = dict(_carry_extra or {})
     if with_train:
         # the train step at bs128 needs nearly the whole HBM: run it in its own
         # process BEFORE this one claims the chip with inference buffers
@@ -192,7 +192,10 @@ def main(model_name="yolov3", imgsz=640, batch=128, iters=8, dtype="bfloat16",
             raise
         nxt = {128: 64, 64: 16}.get(batch, 16)
         print(f"# batch {batch} failed ({type(e).__name__}); retrying at {nxt}", flush=True)
-        return main(model_name, imgsz, nxt, iters, dtype, with_planted, with_h2d, with_train)
+        # preserve every flag; the train subprocess already ran (don't pay it twice)
+        return main(model_name, imgsz, nxt, iters, dtype, with_planted=with_planted,
+                    with_h2d=with_h2d, with_train=False, s2d_stem=s2d_stem,
+                    with_latency=with_latency, _carry_extra=extra)
 
     imgs_per_s, _, _ = timed(model.variables)
 

@@ -108,6 +108,14 @@ def test_check_requirements_and_online():
     from yolov3_tpu.utils.checks import check_online, check_requirements
 
     assert check_requirements(["numpy", "numpy>=1.0"]) == []
+    # semver-equal strings must compare equal ('1.10.0' satisfies '<=1.10')
+    import numpy as _np
+
+    v = _np.__version__.split("+")[0]
+    short = ".".join(v.split(".")[:2])  # e.g. '2.1' for '2.1.0'
+    assert check_requirements([f"numpy<={v}", f"numpy=={v}"], install=False) == []
+    if v.endswith(".0"):
+        assert check_requirements([f"numpy<={short}", f"numpy=={short}"], install=False) == []
     missing = check_requirements(
         ["numpy>=999.0", "definitely_not_a_real_pkg_xyz", "numpy"], install=False
     )

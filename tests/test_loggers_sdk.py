@@ -195,18 +195,32 @@ def test_loggers_hub_model_save_fans_out(monkeypatch, tmp_path):
     ckpt = tmp_path / "last"
     ckpt.mkdir()
     (ckpt / "checkpoint.yaml").write_text("epoch: 0\n")
+    # mid-run epochs without save_period alignment upload NOTHING (the
+    # reference gates artifact uploads by save_period; every-epoch uploads
+    # of the full orbax dir would be ~100 GB over a 300-epoch run)
     lg.on_model_save(last=ckpt, epoch=5, fitness=0.3, best=True)
+    assert not lg.wandb.artifacts and not comet_exp.models
+    lg.on_model_save(last=ckpt, epoch=7, fitness=0.3, best=True, save_period=3)
+    assert not lg.wandb.artifacts  # 7 % 3 != 0
+    lg.on_model_save(last=ckpt, epoch=5, fitness=0.3, best=True, final=True)
     # wandb artifact landed
     assert lg.wandb.artifacts and lg.wandb.artifacts[0][0].metadata["epoch"] == 5
     # comet model registry landed
     assert comet_exp.models and comet_exp.models[0][0] == "yolov3_tpu"
     assert comet_exp.models[0][2]["best"] is True
+    # save_period-aligned epoch uploads too
+    lg.on_model_save(last=ckpt, epoch=6, fitness=0.3, best=False, save_period=3)
+    assert len(lg.wandb.artifacts) == 2
 
 
 def test_comet_resume_downloads_checkpoint_and_opt(monkeypatch, tmp_path):
+    # log_model uploads the orbax checkpoint DIRECTORY -> one asset per file;
+    # resume must restore ALL of them under their relative paths and point
+    # weights at the directory holding checkpoint.yaml (a loadable checkpoint)
     assets = {
-        "a1": ("last.ckpt", b"WEIGHTS", True),
-        "a2": ("opt.yaml", b"epochs: 7\nimgsz: 320\n", False),
+        "a1": ("last/checkpoint.yaml", b"epoch: 3\n", True),
+        "a2": ("last/state/params.bin", b"PARAMS", True),
+        "a3": ("opt.yaml", b"epochs: 7\nimgsz: 320\n", False),
     }
     _install_fake_comet(monkeypatch, api_experiment=_FakeCometAPIExperiment(assets))
     monkeypatch.chdir(tmp_path)
@@ -214,8 +228,20 @@ def test_comet_resume_downloads_checkpoint_and_opt(monkeypatch, tmp_path):
 
     assert check_comet_resume("runs/exp") is None  # non-comet specs pass through
     out = check_comet_resume("comet://ws/proj/exp1")
-    assert out["weights"].read_bytes() == b"WEIGHTS"
+    assert out["weights"].is_dir() and out["weights"].name == "last"
+    assert (out["weights"] / "checkpoint.yaml").read_bytes() == b"epoch: 3\n"
+    assert (out["weights"] / "state" / "params.bin").read_bytes() == b"PARAMS"
     assert out["opt"] == {"epochs": 7, "imgsz": 320}
+
+
+def test_comet_resume_single_file_checkpoint(monkeypatch, tmp_path):
+    assets = {"a1": ("last.ckpt", b"WEIGHTS", True)}
+    _install_fake_comet(monkeypatch, api_experiment=_FakeCometAPIExperiment(assets))
+    monkeypatch.chdir(tmp_path)
+    from yolov3_tpu.utils.loggers.comet_utils import check_comet_resume
+
+    out = check_comet_resume("comet://ws/proj/exp1")
+    assert out["weights"].read_bytes() == b"WEIGHTS"
 
 
 def test_comet_hpo_sweep(monkeypatch):

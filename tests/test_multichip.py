@@ -159,3 +159,15 @@ def test_sharded_val_matches_plain(tmp_path):
     (mp8, mr8, ap50_8, ap8, *_), _, _ = validator.run(**kw, sharded=True)
     np.testing.assert_allclose([mp8, mr8, ap50_8, ap8], [mp1, mr1, ap50_1, ap1],
                                rtol=1e-5, atol=1e-7)
+
+    # in-train path: the training mesh may be a SUBSET of devices (batch not
+    # divisible by device count, loop.py) with params committed to it —
+    # validator must reuse that mesh, not build one over all devices
+    from yolov3_tpu.parallel.mesh import create_mesh, replicate
+
+    mesh4 = create_mesh(jax.devices()[:4])
+    model4 = model.replace_variables(replicate(mesh4, model.variables))
+    (mp4, mr4, ap50_4, ap4, *_), _, _ = validator.run(
+        **{**kw, "model": model4, "batch_size": 4}, sharded=mesh4)
+    np.testing.assert_allclose([mp4, mr4, ap50_4, ap4], [mp1, mr1, ap50_1, ap1],
+                               rtol=1e-5, atol=1e-7)

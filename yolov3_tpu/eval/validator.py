@@ -107,9 +107,20 @@ def run(
     with_loss = bool(compute_loss_flag and loss_cfg is not None and is_native and not save_hybrid)
     mesh = None
     if sharded and is_native and jax.device_count() > 1:
+        from jax.sharding import Mesh
+
         from yolov3_tpu.parallel.mesh import create_mesh
 
-        mesh = create_mesh()
+        # in-train val passes the TRAINING mesh (possibly a device subset when
+        # the batch doesn't divide the device count — loop.py) so the jitted
+        # forward sees the same device set the EMA params are committed to
+        mesh = sharded if isinstance(sharded, Mesh) else create_mesh()
+        if any(d.process_index != jax.process_index() for d in mesh.devices.flat):
+            # the val dataloader is host-local (process 0 only in multi-host
+            # training); feeding host-local numpy into a cross-host sharding
+            # would reject/hang — validate unsharded on this host instead
+            LOGGER.warning("sharded val: mesh spans multiple hosts — falling back to local validation")
+            mesh = None
     if is_native:
         forward = _cached_forward(
             model, conf_thres, nms_iou, max_det, max_nms,

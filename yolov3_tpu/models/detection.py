@@ -71,6 +71,10 @@ class YOLOGraph(nn.Module):
         )
         if region_ok:
             return {0: "out", 1: "down", 2: "bottleneck", 3: "in"}
+        if 0 in self.spec.save:
+            # l0's s2d-layout output must only feed l1's "in" transform — a
+            # skip route into a plain-layout consumer would be silently wrong
+            raise ValueError("s2d_stem: layer 0 is routed to other layers (in save list)")
         return {0: "out", 1: "in"}
 
     def _run_layers(self, layers, out, y, prev_i, train):
@@ -153,6 +157,11 @@ class DetectionModel:
 
     def __init__(self, spec: ModelSpec, variables, dtype=jnp.float32, names=None, fused=False,
                  s2d_stem=False):
+        if s2d_stem and not s2d_eligible(spec):
+            # fail at construction with a clear message — an ineligible stem
+            # (e.g. tiny's maxpool) would otherwise TypeError deep in tracing
+            raise ValueError(f"s2d_stem needs a [Conv k3 s1, Conv k3 s2] stem; "
+                             f"{spec.name} is not eligible")
         self.spec = spec
         self.fused = fused
         self.s2d_stem = s2d_stem

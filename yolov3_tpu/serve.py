@@ -166,6 +166,12 @@ class MicroBatcher:
             z = np.zeros((b, imgsz, imgsz, 3), np.uint8)
             dets, n = self.infer(z)
             np.asarray(dets), np.asarray(n)
+            if hasattr(self.infer, "full_jit"):
+                # zero images never overflow the fast path, so the dense-scene
+                # full-decode fallback would otherwise pay its first (minutes-
+                # long remote) compile inside a live request
+                dets, n = self.infer.full_jit(z)
+                np.asarray(dets), np.asarray(n)
 
     def submit(self, im):
         """Blocking: letterboxed HWC uint8 -> ((max_det, 6) dets ndarray, n)."""

@@ -136,6 +136,12 @@ def train(
         model = DetectionModel(model.spec, model.variables, jnp.bfloat16, names, model.fused,
                                model.s2d_stem)
     if s2d_stem and not model.s2d_stem:
+        from yolov3_tpu.models.detection import s2d_eligible
+
+        if not s2d_eligible(model.spec):
+            raise ValueError(
+                f"--s2d-stem needs a [Conv k3 s1, Conv k3 s2] stem; {model.spec.name} "
+                "is not eligible (yolov3/yolov3-spp are; tiny's maxpool stem is not)")
         # exact layout transform of the stem pair (see nn/modules.Conv s2d_mode)
         # — same parameter tree, so checkpoints/resume/EMA are unaffected
         model = DetectionModel(model.spec, model.variables, model.dtype, names, model.fused,
@@ -315,8 +321,10 @@ def train(
                 dataloader=val_loader, loss_cfg=loss_cfg, compute_loss_flag=True, names=names,
                 single_cls=single_cls, plots=(epoch == epochs - 1) and not noplots, save_dir=save_dir,
                 # data-parallel val over the training mesh's devices (the
-                # reference's DDP validates on rank 0 only, train.py:446)
-                sharded=mesh.devices.size > 1,
+                # reference's DDP validates on rank 0 only, train.py:446);
+                # pass the mesh itself — EMA params live replicated on ITS
+                # device set, which may be a subset of jax.devices()
+                sharded=mesh if mesh.devices.size > 1 else False,
             )
             fi = float(np.asarray(fitness(np.array(results).reshape(1, -1))).reshape(-1)[0])
             callbacks.run("on_val_end", epoch=epoch)
@@ -339,7 +347,8 @@ def train(
             if save_period > 0 and epoch % save_period == 0:
                 save_checkpoint(wdir / f"epoch{epoch}", host_state, spec=model.spec, meta=meta)
             callbacks.run("on_model_save", epoch=epoch, last=str(wdir / "last"),
-                          fitness=float(fi), best=bool(fi >= best_fitness))
+                          fitness=float(fi), best=bool(fi >= best_fitness),
+                          final=epoch == epochs - 1, save_period=save_period)
 
         if stopper(epoch, fi):
             LOGGER.info(f"EarlyStopping: no improvement in {patience} epochs, stopping at epoch {epoch}")

@@ -39,11 +39,15 @@ def check_bf16(model, imgsz=256, atol=0.1):
     return ok
 
 
+def _version_tuple(v):
+    """'1.10' -> (1, 10, 0): zero-padded 3-tuple so '1.10' == '1.10.0'."""
+    t = tuple(int(x) for x in str(v).split(".")[:3] if x.isdigit())
+    return t + (0,) * (3 - len(t))
+
+
 def check_version(current, minimum, name="version", hard=False):
     """Compare dotted version strings."""
-    cur = tuple(int(x) for x in str(current).split(".")[:3] if x.isdigit())
-    mini = tuple(int(x) for x in str(minimum).split(".")[:3] if x.isdigit())
-    ok = cur >= mini
+    ok = _version_tuple(current) >= _version_tuple(minimum)
     if hard:
         assert ok, f"{name} {minimum} required, found {current}"
     return ok
@@ -83,7 +87,7 @@ def check_requirements(requirements=("numpy",), exclude=(), install=None, cmds="
 
     missing = []
     for r in requirements:
-        name = re.split(r"[><=!~\[ ]", str(r), 1)[0].strip()
+        name = re.split(r"[><=!~\[ ]", str(r), maxsplit=1)[0].strip()
         if not name or name in exclude:
             continue
         spec = str(r)[len(name):].strip()
@@ -95,13 +99,9 @@ def check_requirements(requirements=("numpy",), exclude=(), install=None, cmds="
         m = re.match(r"(>=|==|<=|>|<)\s*([\w.]+)", spec)
         if m:
             op, want = m.groups()
-            ok = {
-                ">=": check_version(have, want),
-                ">": have != want and check_version(have, want),
-                "==": have == want,
-                "<=": not check_version(have, want) or have == want,
-                "<": not check_version(have, want) and have != want,
-            }[op]
+            hv, wv = _version_tuple(have), _version_tuple(want)  # '1.10.0' == '1.10'
+            ok = {">=": hv >= wv, ">": hv > wv, "==": hv == wv,
+                  "<=": hv <= wv, "<": hv < wv}[op]
             if not ok:
                 missing.append(str(r))
 

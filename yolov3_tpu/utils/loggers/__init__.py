@@ -155,11 +155,16 @@ class Loggers:
             except Exception as e:  # noqa: BLE001
                 LOGGER.warning(f"ClearML debug samples failed: {e}")
 
-    def on_model_save(self, last=None, epoch=0, final=False, fitness=0.0, best=False):
+    def on_model_save(self, last=None, epoch=0, final=False, fitness=0.0, best=False,
+                      save_period=-1):
         """Checkpoint artifacts to experiment trackers (reference
         loggers/__init__.py:178-190, wandb_utils.py log_model,
-        comet_utils.py log_model)."""
+        comet_utils.py log_model). Heavy artifact uploads are gated by
+        save_period exactly like the reference (every epoch would push the
+        full orbax dir — hundreds of MB for the flagship — per epoch)."""
         if not last:
+            return
+        if not (final or (save_period > 0 and epoch % save_period == 0)):
             return
         if self.wandb:
             try:

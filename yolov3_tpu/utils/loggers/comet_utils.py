@@ -51,15 +51,24 @@ def check_comet_resume(resume):
     save_dir = Path("runs") / "comet_resume" / experiment_path.replace("/", "_")
     save_dir.mkdir(parents=True, exist_ok=True)
 
-    # model checkpoint
+    # model checkpoint — log_model uploads the orbax checkpoint DIRECTORY, so
+    # Comet holds one asset per contained file; a loadable checkpoint needs
+    # every file restored under its relative path (checkpoint.yaml + orbax
+    # payload), not just the newest single asset.
     assets = experiment.get_model_asset_list(MODEL_NAME)
     weights = None
     if assets:
-        newest = sorted(assets, key=lambda a: a.get("step") or 0)[-1]
-        out = save_dir / newest["fileName"]
-        out.parent.mkdir(parents=True, exist_ok=True)
-        out.write_bytes(experiment.get_asset(newest["assetId"], return_type="binary"))
-        weights = out
+        for asset in assets:
+            out = save_dir / asset["fileName"]
+            out.parent.mkdir(parents=True, exist_ok=True)
+            out.write_bytes(experiment.get_asset(asset["assetId"], return_type="binary"))
+        # the checkpoint root is the directory holding checkpoint.yaml
+        metas = sorted(save_dir.rglob("checkpoint.yaml"), key=lambda p: len(p.parts))
+        if metas:
+            weights = metas[0].parent
+        else:  # single-file checkpoint (e.g. a converted .pt)
+            newest = sorted(assets, key=lambda a: a.get("step") or 0)[-1]
+            weights = save_dir / newest["fileName"]
 
     # saved run options (the reference re-hydrates opt.yaml from the experiment)
     opt = None
