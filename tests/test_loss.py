@@ -193,3 +193,29 @@ def test_assignment_counts(rng):
     assert per_offset[1] > 0  # left neighbor active
     assert per_offset[2] > 0  # top neighbor active
     assert per_offset[3] == 0 and per_offset[4] == 0
+
+
+def test_loss_bf16_feats_exact_and_grads_close(rng):
+    """bf16 head outputs: the loss upcasts AFTER gather/slice (train/loss.py)
+    — the value must be bitwise what upcasting the whole grid first gives
+    (cast commutes with gather/slice), and grads must track the f32 form."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = make_cfg()
+    feats, targets, mask = random_inputs(rng)
+    feats_bf16 = [jnp.asarray(f, jnp.bfloat16) for f in feats]
+    total_bf16, comps_bf16 = compute_loss(feats_bf16, targets, mask, cfg)
+    total_up, comps_up = compute_loss([f.astype(jnp.float32) for f in feats_bf16], targets, mask, cfg)
+    assert float(total_bf16) == float(total_up)
+    np.testing.assert_array_equal(np.asarray(comps_bf16), np.asarray(comps_up))
+
+    def f(feats):
+        return compute_loss(feats, targets, mask, cfg)[0]
+
+    g_bf16 = jax.grad(f)(feats_bf16)
+    g_f32 = jax.grad(f)([f_.astype(jnp.float32) for f_ in feats_bf16])
+    for gb, gf in zip(g_bf16, g_f32):
+        assert gb.dtype == jnp.bfloat16  # cotangent matches the head dtype
+        np.testing.assert_allclose(np.asarray(gb, np.float32), np.asarray(gf),
+                                   rtol=0.02, atol=2e-4)

@@ -210,18 +210,23 @@ def compute_loss(feats, targets, mask, cfg: LossConfig, balance=None, return_per
     lcls = 0.0
     obj_per_layer = []
     for i, pi in enumerate(feats):
-        pi = pi.astype(jnp.float32)
         _, na, ny, nx, no = pi.shape
         t = assign_targets_layer(flat, flat_mask, anchors[i], ny, nx, cfg.anchor_t)
         m = t["m"].reshape(-1).astype(jnp.float32)  # (K,)
         n_match = jnp.maximum(m.sum(), 1.0)
 
-        # gather predictions at candidate cells: flatten (bs,na,ny,nx)
+        # gather predictions at candidate cells: flatten (bs,na,ny,nx).
+        # The loss math runs in f32, but the upcast happens AFTER the gather /
+        # channel slice — upcasting the whole (bs,na,ny,nx,85) head output
+        # first would materialize ~1 GB of f32 (and its cotangent) per bs128
+        # step for identical values (bf16->f32 is exact, and cast commutes
+        # with gather/slice); the backward then flows bf16 cotangents into the
+        # conv stack, matching the bf16 policy of every other layer boundary.
         flat_idx = (
             (t["b"].reshape(-1) * na + t["a"].reshape(-1)) * ny + t["gj"].reshape(-1)
         ) * nx + t["gi"].reshape(-1)
         p_flat = pi.reshape(-1, no)
-        psel = p_flat[flat_idx]  # (K, no)
+        psel = p_flat[flat_idx].astype(jnp.float32)  # (K, no)
 
         # box regression (loss.py:147-152)
         pxy = jax.nn.sigmoid(psel[:, 0:2]) * 2.0 - 0.5
@@ -237,7 +242,7 @@ def compute_loss(feats, targets, mask, cfg: LossConfig, balance=None, return_per
         # objectness targets: scatter detached clamped IoU (loss.py:155-161)
         iou_d = jnp.clip(jax.lax.stop_gradient(iou), 0.0, None) * m
         tobj = jnp.zeros((bs * na * ny * nx,), jnp.float32).at[flat_idx].max(iou_d)
-        obj_logits = pi[..., 4].reshape(-1)
+        obj_logits = pi[..., 4].reshape(-1).astype(jnp.float32)
         obj_loss = bce_with_logits(obj_logits, tobj, cfg.obj_pw)
         if cfg.fl_gamma > 0:
             obj_loss = focal_modulation(obj_logits, tobj, obj_loss, cfg.fl_gamma)
