@@ -33,9 +33,14 @@ from yolov3_tpu.train.loss import LossConfig, compute_loss
 from yolov3_tpu.train.optim import EMA
 
 
-def normalize_images(imgs):
-    """uint8 NHWC -> float32 [0,1] on device (reference does /255 on host-copied floats)."""
-    return imgs.astype(jnp.float32) / 255.0
+def normalize_images(imgs, dtype=jnp.float32):
+    """uint8 NHWC -> [0,1] in the compute dtype, on device (reference does /255
+    on host-copied floats). Under a bf16 policy the first conv consumes bf16
+    anyway — normalizing in f32 first would just materialize a 2x-size copy
+    (629 MB at bs128@640) for the cast to throw away; the serving path
+    (bench.py/serve.py) normalizes in compute dtype the same way. uint8 values
+    are exact in bf16 (8 significand bits)."""
+    return imgs.astype(dtype) / 255.0
 
 
 def make_train_step(module, loss_cfg: LossConfig, tx, mesh=None, ema_decay=0.9999, loss_scale=1.0,
@@ -71,7 +76,7 @@ def make_train_step(module, loss_cfg: LossConfig, tx, mesh=None, ema_decay=0.999
         apply_fn = jax.checkpoint(apply_fn)
 
     def train_step(state, imgs, targets, mask):
-        x = normalize_images(imgs)
+        x = normalize_images(imgs, dtype=getattr(module, "dtype", jnp.float32))
         balance = state.get("balance") if autobalance else None
 
         def loss_fn(params):
