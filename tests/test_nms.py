@@ -166,3 +166,44 @@ def test_batched_shapes():
     out, n_valid = batched_nms(pred, conf_thres=0.5, iou_thres=0.45, max_det=30)
     assert out.shape == (4, 30, 6)
     assert n_valid.shape == (4,)
+
+
+def test_merge_nms_reference_semantics():
+    """merge=True: weighted-mean boxes AND the reference's redundant filter —
+    a kept detection overlapping no other candidate is dropped
+    (reference general.py:735-742, `redundant` is always True there)."""
+    boxes = [[50, 50, 20, 20], [52, 50, 20, 20], [200, 200, 20, 20]]
+    obj = [0.9, 0.8, 0.7]
+    cls = [[1.0, 0.0]] * 3
+    out, n = batched_nms(make_pred(boxes, obj, cls), conf_thres=0.25, iou_thres=0.45, merge=True)
+    out, n = np.asarray(out[0]), int(n[0])
+    # the isolated box at (200,200) survives plain NMS but has no other
+    # overlapping candidate -> dropped by the redundant filter
+    assert n == 1
+    # survivor = score-weighted mean of the two overlapping candidates
+    w = np.array([0.9, 0.8])
+    exp_x1 = (40 * w[0] + 42 * w[1]) / w.sum()
+    np.testing.assert_allclose(out[0, :4], [exp_x1, 40, exp_x1 + 20, 60], atol=1e-3)
+    assert (out[1:, 4] == 0).all()  # compacted, zero-padded tail
+
+    # single-candidate image: the 1 < n gate disables merge entirely
+    out1, n1 = batched_nms(make_pred([[50, 50, 20, 20]], [0.9], [[1.0, 0.0]]),
+                           conf_thres=0.25, iou_thres=0.45, merge=True)
+    assert int(n1[0]) == 1
+    np.testing.assert_allclose(np.asarray(out1[0, 0, :4]), [40, 40, 60, 60], atol=1e-4)
+
+
+def test_pallas_large_k_falls_back():
+    """batched_nms(use_pallas=True) with VMEM-exceeding candidate counts must
+    not crash: it runs the exact XLA loop instead (guard in ops/nms.py)."""
+    rng = np.random.default_rng(0)
+    n = 25200
+    x = np.zeros((16, n, 7), np.float32)  # 16*25200 candidates ~= 17 MB of VMEM planes
+    x[..., :2] = rng.uniform(40, 600, (16, n, 2))
+    x[..., 2:4] = rng.uniform(8, 60, (16, n, 2))
+    x[..., 4] = rng.uniform(0, 1, (16, n))
+    x[..., 5:] = rng.uniform(0, 1, (16, n, 2))
+    out_p, n_p = batched_nms(x, conf_thres=0.6, iou_thres=0.45, use_pallas=True)
+    out_x, n_x = batched_nms(x, conf_thres=0.6, iou_thres=0.45, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(n_p), np.asarray(n_x))
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x), atol=1e-5)

@@ -38,7 +38,8 @@ def compute_ap(recall, precision):
     mpre = np.concatenate(([1.0], precision, [0.0]))
     mpre = np.flip(np.maximum.accumulate(np.flip(mpre)))  # precision envelope
     x = np.linspace(0, 1, 101)
-    ap = np.trapezoid(np.interp(x, mrec, mpre), x)
+    trapezoid = np.trapezoid if hasattr(np, "trapezoid") else np.trapz  # numpy<2 compat
+    ap = trapezoid(np.interp(x, mrec, mpre), x)
     return ap, mpre, mrec
 
 

@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import functools
 import json
-import time
 from pathlib import Path
 
 import jax
@@ -81,6 +80,7 @@ def run(
 
     if not is_native:
         rect = False  # exported artifacts are fixed-shape: square letterbox only
+    data_dict = data if isinstance(data, dict) else None
     if dataloader is None:
         data_dict = check_dataset(data)
         names = names or data_dict["names"]
@@ -103,6 +103,8 @@ def run(
     iouv = np.linspace(0.5, 0.95, 10)
     niou = iouv.shape[0]
 
+    if task == "speed":  # benchmark settings (reference val.py:605-609)
+        conf_thres, save_json = 0.25, False
     nms_iou = 0.45 if task == "speed" else iou_thres
     with_loss = bool(compute_loss_flag and loss_cfg is not None and is_native and not save_hybrid)
     mesh = None
@@ -129,9 +131,8 @@ def run(
         )
         if mesh is not None:
             ndev = mesh.devices.size
-            fwd_sharded, fwd_plain = forward, None
 
-            def forward(variables, imgs_u8, *rest, _s=[fwd_sharded, None]):
+            def forward(variables, imgs_u8, *rest, _s=[forward, None]):
                 # partial tail batches (B % ndev != 0) run the unsharded
                 # program — exact, one extra (cached) compile at most
                 if imgs_u8.shape[0] % ndev == 0:
@@ -160,7 +161,12 @@ def run(
     batch_i = 0
     confusion = ConfusionMatrix(nc=nc) if plots else None
     jdict = []
-    class_map = coco80_to_coco91_class() if save_json else list(range(1000))
+    # COCO80->91 category remap applies only to the real COCO dataset
+    # (reference val.py:311,344) — a custom dataset's class ids pass through
+    # unmapped (remapping them would corrupt ids and overflow at nc > 80)
+    _val_split = (data_dict or {}).get("val")
+    is_coco = isinstance(_val_split, str) and _val_split.replace("\\", "/").endswith("coco/val2017.txt")
+    class_map = coco80_to_coco91_class() if is_coco else list(range(1000))
     dt = (Profile(), Profile(), Profile())
     seen = 0
 
@@ -235,7 +241,7 @@ def run(
                 stats.append((correct, pred[:, 4] if len(pred) else np.zeros(0), pred[:, 5] if len(pred) else np.zeros(0), labelsn[:, 0]))
                 if confusion is not None:
                     confusion.process_batch(pred, labelsn)
-                if save_txt or save_conf:
+                if save_txt:  # save_conf only modifies the txt format (reference val.py:410)
                     h0w0 = shape_meta[0] if shape_meta is not None else (h, w)
                     _save_one_txt(pred, Path(save_dir) / "labels",
                                   Path(dataloader.dataset.im_files[seen - 1]).stem, h0w0, save_conf)

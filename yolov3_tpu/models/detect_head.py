@@ -106,19 +106,41 @@ def decode_topk_candidates(feats, anchors, strides, k_per_scale=(256, 128, 64), 
     a dense scene and equivalence with the full decode is not guaranteed) —
     callers fall back to the full pipeline on that signal.
     """
+    def unflatten(top_i, na, ny, nx):
+        # flat index runs in (anchor, y, x) order
+        a_idx = top_i // (ny * nx)
+        rem = top_i % (ny * nx)
+        return a_idx, rem // nx, rem % nx
+
+    def to_flat(f, na):
+        bs, _, ny, nx, no = f.shape
+        return f.reshape(bs, na * ny * nx, no), ny, nx
+
+    return _decode_topk_scales(feats, anchors, strides, k_per_scale, conf_thres,
+                               with_overflow, to_flat, unflatten)
+
+
+def _decode_topk_scales(feats, anchors, strides, k_per_scale, conf_thres, with_overflow,
+                        to_flat, unflatten):
+    """Shared fused top-k decode over all scales (one pass per scale: score ->
+    mask -> top-k -> decode only the gathered candidates). `to_flat(f, na) ->
+    ((bs, M, no) flattened head output, ny, nx)`; `unflatten(top_i, na, ny,
+    nx) -> (a_idx, y_idx, x_idx)` inverts that flat index order. Scores and
+    box decode run in f32 regardless of the head dtype (per-element converts
+    fuse into sigmoid/max — no full f32 copy is materialized)."""
     anchors = jnp.asarray(anchors, dtype=jnp.float32).reshape(len(feats), -1, 2)
+    na = anchors.shape[1]
     boxes_all, scores_all, cls_all = [], [], []
     overflow = None
     for i, f in enumerate(feats):
-        bs, na, ny, nx, no = f.shape
-        nc = no - 5
+        flat, ny, nx = to_flat(f, na)
         k = min(int(k_per_scale[min(i, len(k_per_scale) - 1)]), na * ny * nx)
-        flat = f.reshape(bs, na * ny * nx, no)
 
-        obj_sig = nn.sigmoid(flat[..., 4])
-        cls_logit_max = jnp.max(flat[..., 5:], axis=-1)
+        obj_sig = nn.sigmoid(flat[..., 4].astype(jnp.float32))
+        # sigmoid is monotonic: max(sig(c)) = sig(max(c))
+        cls_logit_max = jnp.max(flat[..., 5:], axis=-1).astype(jnp.float32)
         cls_arg = jnp.argmax(flat[..., 5:], axis=-1)
-        score = obj_sig * nn.sigmoid(cls_logit_max)  # sigmoid is monotonic: max(sig(c)) = sig(max(c))
+        score = obj_sig * nn.sigmoid(cls_logit_max)
         valid = (score > conf_thres) & (obj_sig > conf_thres)
         masked = jnp.where(valid, score, -1.0)
         if with_overflow:  # fuses into the same pass that builds `masked`
@@ -126,15 +148,10 @@ def decode_topk_candidates(feats, anchors, strides, k_per_scale=(256, 128, 64), 
             overflow = ov if overflow is None else overflow | ov
 
         top_s, top_i = jax.lax.top_k(masked, k)  # (bs, k)
-
-        # reconstruct (anchor, y, x) from the flat index
-        a_idx = top_i // (ny * nx)
-        rem = top_i % (ny * nx)
-        y_idx = rem // nx
-        x_idx = rem % nx
+        a_idx, y_idx, x_idx = unflatten(top_i, na, ny, nx)
 
         txywh = jnp.take_along_axis(flat[..., :4], top_i[..., None], axis=1)  # (bs, k, 4)
-        sig = nn.sigmoid(txywh)
+        sig = nn.sigmoid(txywh.astype(jnp.float32))
         gx = x_idx.astype(jnp.float32) - 0.5
         gy = y_idx.astype(jnp.float32) - 0.5
         cx = (sig[..., 0] * 2 + gx) * strides[i]
@@ -144,10 +161,9 @@ def decode_topk_candidates(feats, anchors, strides, k_per_scale=(256, 128, 64), 
         h = (sig[..., 3] * 2) ** 2 * awh[..., 1]
         boxes = jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=-1)
 
-        top_cls = jnp.take_along_axis(cls_arg, top_i, axis=1).astype(jnp.float32)
         boxes_all.append(boxes)
         scores_all.append(top_s)
-        cls_all.append(top_cls)
+        cls_all.append(jnp.take_along_axis(cls_arg, top_i, axis=1).astype(jnp.float32))
 
     out = (
         jnp.concatenate(boxes_all, axis=1),
@@ -169,56 +185,17 @@ def decode_topk_nhwc(feats_raw, anchors, strides, k_per_scale=(256, 128, 64), co
     utils/general.py:630-714). `with_overflow=True` appends a (bs,) bool
     truncation flag (see decode_topk_candidates).
     """
-    anchors = jnp.asarray(anchors, dtype=jnp.float32).reshape(len(feats_raw), -1, 2)
-    boxes_all, scores_all, cls_all = [], [], []
-    overflow = None
-    for i, f in enumerate(feats_raw):
+    def unflatten(top_i, na, ny, nx):
+        # flat index runs in (y, x, anchor) order — natural NHWC memory order
+        return top_i % na, top_i // (na * nx), (top_i // na) % nx
+
+    def to_flat(f, na):
         bs, ny, nx, ch = f.shape
-        na = anchors.shape[1]
-        no = ch // na
-        k = min(int(k_per_scale[min(i, len(k_per_scale) - 1)]), na * ny * nx)
-        flat = f.reshape(bs, ny * nx * na, no)  # free reshape; stays in compute dtype
+        # free reshape; stays in compute dtype (no transpose is materialized)
+        return f.reshape(bs, ny * nx * na, ch // na), ny, nx
 
-        # one fused pass over the head output: per-element convert-to-f32 fuses
-        # into sigmoid/max — no full f32 copy is materialized
-        obj_sig = nn.sigmoid(flat[..., 4].astype(jnp.float32))
-        cls_logit_max = jnp.max(flat[..., 5:], axis=-1).astype(jnp.float32)
-        cls_arg = jnp.argmax(flat[..., 5:], axis=-1)
-        score = obj_sig * nn.sigmoid(cls_logit_max)
-        valid = (score > conf_thres) & (obj_sig > conf_thres)
-        masked = jnp.where(valid, score, -1.0)
-        if with_overflow:
-            ov = jnp.sum(valid, axis=1) > k
-            overflow = ov if overflow is None else overflow | ov
-
-        top_s, top_i = jax.lax.top_k(masked, k)  # (bs, k)
-
-        # flat index -> (y, x, anchor) in NHWC order
-        a_idx = top_i % na
-        x_idx = (top_i // na) % nx
-        y_idx = top_i // (na * nx)
-
-        txywh = jnp.take_along_axis(flat[..., :4], top_i[..., None], axis=1)
-        sig = nn.sigmoid(txywh.astype(jnp.float32))
-        gx = x_idx.astype(jnp.float32) - 0.5
-        gy = y_idx.astype(jnp.float32) - 0.5
-        cx = (sig[..., 0] * 2 + gx) * strides[i]
-        cy = (sig[..., 1] * 2 + gy) * strides[i]
-        awh = anchors[i][a_idx]
-        w = (sig[..., 2] * 2) ** 2 * awh[..., 0]
-        h = (sig[..., 3] * 2) ** 2 * awh[..., 1]
-        boxes = jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=-1)
-
-        boxes_all.append(boxes)
-        scores_all.append(top_s)
-        cls_all.append(jnp.take_along_axis(cls_arg, top_i, axis=1).astype(jnp.float32))
-
-    out = (
-        jnp.concatenate(boxes_all, axis=1),
-        jnp.concatenate(scores_all, axis=1),
-        jnp.concatenate(cls_all, axis=1),
-    )
-    return out + (overflow,) if with_overflow else out
+    return _decode_topk_scales(feats_raw, anchors, strides, k_per_scale, conf_thres,
+                               with_overflow, to_flat, unflatten)
 
 
 def decode_predictions(feats, anchors, strides):

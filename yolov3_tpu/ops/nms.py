@@ -147,6 +147,12 @@ def batched_nms(
 
     boxes_off_b, boxes_b, scores_b, cls_b = jax.vmap(prep)(prediction)
 
+    # the Pallas kernel keeps all (B, K) operands VMEM-resident (~16 MB/core
+    # budget, ~11 f32 planes of B*K) — when the batch/candidate product would
+    # blow VMEM, run the exact XLA loop instead of failing the Mosaic compile
+    k_cand = min(max_nms, n * nc if (multi_label and nc > 1) else n)
+    if use_pallas and bs * k_cand * 44 > 12 * 2**20:
+        use_pallas = False
     if use_pallas:
         from yolov3_tpu.ops.nms_pallas import pallas_greedy_nms
 
@@ -157,8 +163,13 @@ def batched_nms(
         )
 
     if merge:
-        # boxes(i,4) = weights(i,K) * boxes(K,4) / sum(weights) — reference general.py:735-741
+        # boxes(i,4) = weights(i,K) * boxes(K,4) / sum(weights), then drop
+        # non-redundant detections (kept boxes overlapping no other candidate)
+        # — reference general.py:735-742 incl. the `redundant` filter and the
+        # 1 < n < 3e3 gate on the pre-NMS candidate count
         def merge_one(out, top_box_off, top_box, top_scores):
+            valid_cand = top_scores > 0
+            n_cand = valid_cand.sum()
             sel_off = out[:, :4] + jnp.where(agnostic, 0.0, out[:, 5:6] * MAX_WH)
             lt = jnp.maximum(sel_off[:, None, :2], top_box_off[None, :, :2])
             rb = jnp.minimum(sel_off[:, None, 2:4], top_box_off[None, :, 2:4])
@@ -167,12 +178,21 @@ def batched_nms(
             a1 = (sel_off[:, 2] - sel_off[:, 0]) * (sel_off[:, 3] - sel_off[:, 1])
             a2 = (top_box_off[:, 2] - top_box_off[:, 0]) * (top_box_off[:, 3] - top_box_off[:, 1])
             iou = inter / (a1[:, None] + a2[None, :] - inter + 1e-7)
-            w = (iou > iou_thres) * jnp.clip(top_scores, 0.0, None)[None, :]
+            ov = (iou > iou_thres) & valid_cand[None, :]  # (max_det, K)
+            w = ov * jnp.clip(top_scores, 0.0, None)[None, :]
             merged = (w @ top_box) / jnp.clip(w.sum(1, keepdims=True), 1e-7, None)
             has = out[:, 4] > 0
-            return out.at[:, :4].set(jnp.where(has[:, None], merged, out[:, :4]))
+            do = (n_cand > 1) & (n_cand < 3000)
+            out = out.at[:, :4].set(jnp.where((do & has)[:, None], merged, out[:, :4]))
+            # redundant filter: a kept box must overlap >1 candidate (itself
+            # counts once); compact survivors to the front (rows stay
+            # score-sorted valid-first — the n-first fetch invariant)
+            keep = has & jnp.where(do, ov.sum(1) > 1, True)
+            order = jnp.argsort(~keep, stable=True)
+            out = out[order] * keep[order][:, None]
+            return out, keep.sum().astype(n_valid_b.dtype)
 
-        out_b = jax.vmap(merge_one)(out_b, boxes_off_b, boxes_b, scores_b)
+        out_b, n_valid_b = jax.vmap(merge_one)(out_b, boxes_off_b, boxes_b, scores_b)
 
     return out_b, n_valid_b
 
