@@ -132,3 +132,32 @@ def test_hsv_inplace(rng):
     augment_hsv(im, 0.5, 0.5, 0.5)
     assert im.shape == before.shape
     assert im.dtype == np.uint8
+
+
+def test_label_cache_stays_aligned_after_corrupt_drop(tmp_path):
+    """A corrupt image is dropped by verify_image_label on the FIRST scan; the
+    cache-hit path must restore the same filtered file list — otherwise every
+    image after the corrupt one silently pairs with its neighbor's labels."""
+    root = tmp_path / "ds"
+    (root / "images" / "train").mkdir(parents=True)
+    (root / "labels" / "train").mkdir(parents=True)
+    rng = np.random.default_rng(3)
+    for i in range(4):
+        name = f"{i}.jpg"
+        if i == 1:  # corrupt: not a decodable image
+            (root / "images" / "train" / name).write_bytes(b"not a jpeg")
+        else:
+            cv2.imwrite(str(root / "images" / "train" / name),
+                        rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+        (root / "labels" / "train" / f"{i}.txt").write_text(f"{i % 2} 0.5 0.5 0.4 0.3\n")
+
+    kw = dict(imgsz=64, augment=False, num_cls=2, cache_dir=tmp_path / "cc")
+    ds1 = DetectionDataset(str(root / "images" / "train"), **kw)
+    ds2 = DetectionDataset(str(root / "images" / "train"), **kw)  # cache hit
+    assert ds1.im_files == ds2.im_files
+    assert len(ds2) == 3 and len(ds2.labels) == 3
+    assert not any("1.jpg" in f for f in ds2.im_files)
+    # labels still pair with their own image: file i has class i % 2
+    for f, lb in zip(ds2.im_files, ds2.labels):
+        i = int(Path(f).stem)
+        assert int(lb[0, 0]) == i % 2, (f, lb)

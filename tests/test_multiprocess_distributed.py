@@ -89,6 +89,15 @@ print("METRICS", jax.process_index(),
 # a second step proves the coordination service survives steady-state stepping
 state, metrics2 = step_fn(state, *batch)
 print("METRICS2", jax.process_index(), float(metrics2["loss"]))
+# the in-train val path materializes host-local EMA copies from the global
+# replicated arrays (train/loop.py multi-host branch) — must work per process
+ema_host = jax.tree.map(np.asarray, dict(state["ema"]["ema"]))
+leaf = jax.tree.leaves(ema_host)[0]
+print("EMAHOST", jax.process_index(), float(np.abs(leaf).sum()))
+# the early-stop fitness broadcast (train/loop.py): every host gets p0's value
+from jax.experimental import multihost_utils
+fi = np.float32(0.75 if jax.process_index() == 0 else 0.0)
+print("FITBCAST", jax.process_index(), float(multihost_utils.broadcast_one_to_all(fi)))
 """
 
 
@@ -144,3 +153,11 @@ def test_two_process_global_step_matches_single_process():
     np.testing.assert_allclose(
         m[0], [oracle["loss"], oracle["lbox"], oracle["lobj"], oracle["lcls"]], rtol=2e-4
     )
+
+    # host-local EMA materialization (in-train val path) works on BOTH hosts
+    # and reads identical replicas
+    eh = dict(parse("EMAHOST", o) for o in outs)
+    assert eh[0] == pytest.approx(eh[1], rel=1e-6) and eh[0][0] > 0
+    # the early-stop fitness broadcast delivers process 0's value everywhere
+    fb = dict(parse("FITBCAST", o) for o in outs)
+    assert fb[0] == [0.75] and fb[1] == [0.75]

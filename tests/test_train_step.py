@@ -268,3 +268,128 @@ def test_accumulation_schedule_in_loader_steps():
     # the 10th optimizer update sits at loader step 36 -> lr = 0.01*36/100 * ... > 0
     lr_expected = float(sch.lr(36.0))
     assert lr_expected > 0.001
+
+
+def test_adamw_decoupled_decay_matches_torch():
+    """optimizer=adamw must decouple weight decay like torch.optim.AdamW
+    (decay applied after the adaptive normalizer, scaled only by lr) — NOT
+    coupled L2 (reference smart_optimizer builds torch AdamW, torch_utils.py)."""
+    import jax.numpy as jnp
+    import torch
+
+    from yolov3_tpu.train.optim import build_optimizer
+
+    hyp = {"lr0": 0.01, "lrf": 1.0, "momentum": 0.9, "weight_decay": 0.05,
+           "warmup_epochs": 0.0, "warmup_bias_lr": 0.0}
+    rng = np.random.default_rng(0)
+    w0 = rng.normal(0, 1, (4, 4)).astype(np.float32)
+    g = rng.normal(0, 1, (4, 4)).astype(np.float32)
+    # a (1,1,cin,cout) kernel labels as "weight" (decayed group)
+    params = {"l0": {"conv": {"kernel": jnp.asarray(w0.reshape(1, 1, 4, 4))}}}
+    grads = {"l0": {"conv": {"kernel": jnp.asarray(g.reshape(1, 1, 4, 4))}}}
+    # batch 64 => accumulate 1; decay scale bs*acc/nbs == 1
+    tx, sch, acc = build_optimizer("adamw", params, hyp, epochs=1, steps_per_epoch=10,
+                                   batch_size=64, min_warmup_steps=0)
+    assert acc == 1
+    # the schedule keeps a 1-step warmup floor (lr(0)=0), so compare step 2,
+    # mirroring lr=0 then lr=0.01 in torch
+    st = tx.init(params)
+    upd0, st = tx.update(grads, st, params)
+    p1 = jax.tree.map(lambda p, u: p + u, params, upd0)
+    upd1, _ = tx.update(grads, st, p1)
+    got = np.asarray(p1["l0"]["conv"]["kernel"] + upd1["l0"]["conv"]["kernel"]).reshape(4, 4)
+
+    tw = torch.tensor(w0, requires_grad=True)
+    opt = torch.optim.AdamW([tw], lr=0.0, betas=(0.9, 0.999), weight_decay=0.05)
+    tw.grad = torch.tensor(g)
+    opt.step()
+    opt.param_groups[0]["lr"] = float(sch.lr(np.float32(1)))
+    tw.grad = torch.tensor(g)
+    opt.step()
+    np.testing.assert_allclose(got, tw.detach().numpy(), rtol=2e-5, atol=2e-6)
+
+
+def test_bias_group_warmup_lr_applies_to_adam():
+    """The bias group's warmup_bias_lr interpolation applies regardless of
+    optimizer (reference train.py:383-391 interpolates param group 0)."""
+    import jax.numpy as jnp
+
+    from yolov3_tpu.train.optim import build_optimizer
+
+    hyp = {"lr0": 0.01, "lrf": 1.0, "momentum": 0.9, "weight_decay": 0.0,
+           "warmup_epochs": 1.0, "warmup_bias_lr": 0.1}
+    params = {"l0": {"conv": {"kernel": jnp.ones((1, 1, 2, 2)), "bias": jnp.ones((2,))}}}
+    grads = jax.tree.map(jnp.ones_like, params)
+    tx, sch, _ = build_optimizer("adam", params, hyp, epochs=2, steps_per_epoch=100,
+                                 batch_size=64, min_warmup_steps=100)
+    st = tx.init(params)
+    upd, _ = tx.update(grads, st, params)
+    # at step 0 the bias lr is warmup_bias_lr=0.1 while the weight lr is ~0:
+    # the bias update must be ~0.1/lr0 times larger than the weight update
+    b = float(np.abs(np.asarray(upd["l0"]["conv"]["bias"])).mean())
+    k = float(np.abs(np.asarray(upd["l0"]["conv"]["kernel"])).mean())
+    assert float(sch.bias_lr(np.float32(0))) == pytest.approx(0.1, rel=1e-5)
+    assert b == pytest.approx(0.1, rel=1e-2)  # adam unit step * lr 0.1
+    assert k < 1e-6  # weight group lr starts at ~0
+
+
+def test_loader_propagates_worker_exception(tmp_path):
+    """A failing sample must fail the epoch loudly — a swallowed producer
+    exception would silently truncate every epoch at that batch."""
+    import cv2
+
+    from yolov3_tpu.data.datasets import DataLoader, DetectionDataset
+
+    root = tmp_path / "ds"
+    (root / "images" / "train").mkdir(parents=True)
+    (root / "labels" / "train").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        cv2.imwrite(str(root / "images" / "train" / f"{i}.jpg"),
+                    rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+        (root / "labels" / "train" / f"{i}.txt").write_text("0 0.5 0.5 0.4 0.3\n")
+    ds = DetectionDataset(str(root / "images" / "train"), imgsz=64, augment=False, num_cls=2)
+
+    class Boom(Exception):
+        pass
+
+    orig = ds.__class__.__getitem__
+
+    class FailingDS:
+        def __getattr__(self, k):
+            return getattr(ds, k)
+
+        def __len__(self):
+            return len(ds)
+
+        def __getitem__(self, i):
+            if i == 2:
+                raise Boom("decode failed")
+            return orig(ds, i)
+
+    for workers in (1, 2):
+        with pytest.raises(Boom):
+            for _ in DataLoader(FailingDS(), batch_size=2, shuffle=False, workers=workers):
+                pass
+
+
+def test_host_shard_equal_batch_counts():
+    """Round-robin host sharding truncates to the COMMON batch count — a host
+    with one extra batch would hang the SPMD step collective (and __len__
+    must report the per-host step count the schedules are built from)."""
+    from yolov3_tpu.data.datasets import DataLoader
+
+    class Fake:
+        def __len__(self):
+            return 80
+
+        def __getitem__(self, i):
+            return (np.zeros((8, 8, 3), np.uint8), np.zeros((0, 5), np.float32), None)
+
+    counts = []
+    for pid in range(2):
+        dl = DataLoader(Fake(), batch_size=16, shuffle=False, drop_last=True)
+        dl._host_shard = (pid, 2)  # what shard_per_host sets from jax.process_*
+        counts.append(sum(1 for _ in dl._batches()))
+        assert len(dl) == counts[-1]
+    assert counts == [2, 2]  # 5 global batches -> 2 common (5th dropped)

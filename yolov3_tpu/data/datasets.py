@@ -37,7 +37,7 @@ from yolov3_tpu.utils.general import LOGGER, NUM_THREADS
 from yolov3_tpu.ops.boxes import xywhn2xyxy, xyxy2xywhn
 
 IMG_FORMATS = ("bmp", "dng", "jpeg", "jpg", "mpo", "png", "tif", "tiff", "webp", "pfm")
-CACHE_VERSION = "yolov3_tpu-cache-v1"
+CACHE_VERSION = "yolov3_tpu-cache-v2"  # v2: caches the corrupt-filtered im_files
 
 
 def img2label_paths(img_paths):
@@ -254,6 +254,11 @@ class DetectionDataset:
             try:
                 z = np.load(cache_path, allow_pickle=True)
                 if str(z["version"]) == CACHE_VERSION and str(z["hash"]) == key:
+                    # restore the corrupt-filtered file list too — labels and
+                    # im_files must stay index-aligned (a dropped corrupt image
+                    # would otherwise shift every later label one slot)
+                    self.im_files = [str(f) for f in z["im_files"]]
+                    self.label_files = img2label_paths(self.im_files)
                     return list(z["labels"]), z["shapes"]
             except Exception:  # noqa: BLE001
                 pass
@@ -277,6 +282,7 @@ class DetectionDataset:
                 hash=key,
                 labels=np.array(labels, dtype=object),
                 shapes=np.array(shapes, dtype=np.float64),
+                im_files=np.array(keep),
             )
         except OSError as e:
             LOGGER.warning(f"cache not saved to {cache_path}: {e}")
@@ -357,7 +363,9 @@ class DetectionDataset:
         return img, labels.astype(np.float32), shapes_meta
 
     def _get_mosaic(self, index):
-        idxs = [index] + random.choices(self.indices.tolist(), k=3)
+        # O(1) draws — .tolist() would materialize the full index list (118k
+        # entries for COCO) on every mosaic sample in the hot augment path
+        idxs = [index] + [int(self.indices[random.randrange(len(self.indices))]) for _ in range(3)]
         random.shuffle(idxs)
         images, lbls, segs = [], [], []
         for i in idxs:
@@ -429,7 +437,12 @@ class DataLoader:
 
     def __len__(self):
         n = len(self.dataset)
-        return n // self.batch_size if self.drop_last else math.ceil(n / self.batch_size)
+        nb = n // self.batch_size if self.drop_last else math.ceil(n / self.batch_size)
+        i0, nh = getattr(self, "_host_shard", (0, 1))
+        # sharded: every host reports the COMMON count (see _batches) — each
+        # global SPMD step consumes one batch per host, so per-host length IS
+        # the number of train steps this host will take
+        return nb // nh if nh > 1 else nb
 
     def set_indices(self, indices):
         """Override the sampling order for the next epoch (image-weights
@@ -459,6 +472,11 @@ class DataLoader:
             self._indices_override = None
         n_batches = len(idx) // self.batch_size if self.drop_last else math.ceil(len(idx) / self.batch_size)
         i0, nh = getattr(self, "_host_shard", (0, 1))
+        if nh > 1:
+            # truncate to the COMMON per-host count: every step_fn call is one
+            # global SPMD execution needing all hosts, so a host with one
+            # extra batch would block forever in its last step's collective
+            n_batches = (n_batches // nh) * nh
         for b in range(i0, n_batches, nh):
             yield idx[b * self.batch_size : (b + 1) * self.batch_size]
 
@@ -490,6 +508,9 @@ class DataLoader:
                     for batch_idx in self._batches():
                         samples = [self.dataset[i] for i in batch_idx]
                         q.put(collate(samples, self.max_labels))
+            except BaseException as e:  # noqa: BLE001 — forward to the consumer:
+                # a dead producer must fail the epoch loudly, not truncate it
+                q.put(e)
             finally:
                 q.put(stop)
 
@@ -499,4 +520,6 @@ class DataLoader:
             item = q.get()
             if item is stop:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item

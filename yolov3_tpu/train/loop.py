@@ -200,14 +200,23 @@ def train(
 
     # optimizer + schedules + step
     freeze_layers = list(range(freeze[0])) if len(freeze) == 1 else list(freeze)
+    nh = jax.process_count()
+    # batch_size is PER HOST (each host's loader shard feeds its local rows,
+    # mesh.shard_batch assembles the global batch); the reference's
+    # decay/accumulate scaling uses the TOTAL batch (torch_utils.py:207-237)
     tx, schedules, accumulate = build_optimizer(
-        optimizer, model.params, hyp, epochs, steps_per_epoch, batch_size, cos_lr=cos_lr,
+        optimizer, model.params, hyp, epochs, steps_per_epoch, batch_size * nh, cos_lr=cos_lr,
         freeze=freeze_layers,
     )
     import math as _math
 
     n_dev = jax.device_count()
-    eff_batch = batch_size // 4 if quad else batch_size  # quad collate quarters the batch dim
+    eff_batch = (batch_size // 4 if quad else batch_size) * nh  # global batch on the mesh
+    if nh > 1 and eff_batch % n_dev:
+        # a device-subset mesh can't be picked host-balanced in general —
+        # require divisibility instead of silently idling another host's chips
+        raise ValueError(f"multi-host: global batch {eff_batch} must be divisible by "
+                         f"{n_dev} devices ({nh} hosts x {n_dev // nh} chips)")
     n_use = _math.gcd(eff_batch, n_dev)
     if n_use < n_dev:
         LOGGER.warning(
@@ -299,10 +308,12 @@ def train(
                 callbacks.run("on_train_batch_end", ni=ni, imgs=imgs, targets=targets, mask=mask)
             else:
                 callbacks.run("on_train_batch_end", ni=ni)
-        if epoch_metrics:  # one sync at epoch end instead of one per step
-            mloss = np.mean(
-                [[float(m["lbox"]), float(m["lobj"]), float(m["lcls"])] for m in epoch_metrics], axis=0
-            )
+        if epoch_metrics:  # one sync at epoch end instead of one per step:
+            # stack on device (async dispatches), then ONE blocking fetch —
+            # per-scalar float() here would pay 3 D2H round trips per step
+            mloss = np.asarray(jnp.stack(
+                [jnp.stack([m["lbox"], m["lobj"], m["lcls"]]) for m in epoch_metrics]
+            )).mean(axis=0)
         lr_now = float(schedules.lr(np.float32(int(state["step"]))))
         LOGGER.info(
             f"epoch {epoch + 1}/{epochs}: box {mloss[0]:.4f} obj {mloss[1]:.4f} cls {mloss[2]:.4f} "
@@ -313,9 +324,16 @@ def train(
         # per-epoch validation with EMA weights (reference train.py:446-459)
         fi = 0.0
         if val_loader is not None:
-            # EMA weights stay device-resident — host copies would re-upload
-            # all params into the jitted val forward every batch
-            ema_model = model.replace_variables(dict(state["ema"]["ema"]))
+            ema_vars = dict(state["ema"]["ema"])
+            if jax.process_count() > 1:
+                # multi-host: the EMA arrays are committed to the GLOBAL mesh,
+                # but only process 0 has a val loader — materialize host-local
+                # copies (fully-replicated arrays are host-addressable) so the
+                # local val forward doesn't mix global and local placements
+                ema_vars = jax.tree.map(np.asarray, ema_vars)
+            # single-host: EMA weights stay device-resident — host copies
+            # would re-upload all params into the jitted val forward per batch
+            ema_model = model.replace_variables(ema_vars)
             results, maps, _ = validator.run(
                 data_dict, model=ema_model, batch_size=batch_size, imgsz=imgsz,
                 dataloader=val_loader, loss_cfg=loss_cfg, compute_loss_flag=True, names=names,
@@ -323,8 +341,10 @@ def train(
                 # data-parallel val over the training mesh's devices (the
                 # reference's DDP validates on rank 0 only, train.py:446);
                 # pass the mesh itself — EMA params live replicated on ITS
-                # device set, which may be a subset of jax.devices()
-                sharded=mesh if mesh.devices.size > 1 else False,
+                # device set, which may be a subset of jax.devices().
+                # multi-host: val is process-0-local (host-local loader +
+                # host-local EMA copy above), so no sharding
+                sharded=mesh if (mesh.devices.size > 1 and jax.process_count() == 1) else False,
             )
             fi = float(np.asarray(fitness(np.array(results).reshape(1, -1))).reshape(-1)[0])
             callbacks.run("on_val_end", epoch=epoch)
@@ -350,6 +370,15 @@ def train(
                           fitness=float(fi), best=bool(fi >= best_fitness),
                           final=epoch == epochs - 1, save_period=save_period)
 
+        if jax.process_count() > 1:
+            # fitness is computed on process 0 only (val_loader gating above);
+            # every host must see the SAME value or a triggered stop leaves
+            # the others blocked in the next epoch's collective — the analog
+            # of the reference's broadcast_object_list stop flag
+            # (reference train.py:492-496)
+            from jax.experimental import multihost_utils
+
+            fi = float(multihost_utils.broadcast_one_to_all(np.float32(fi)))
         if stopper(epoch, fi):
             LOGGER.info(f"EarlyStopping: no improvement in {patience} epochs, stopping at epoch {epoch}")
             break

@@ -187,16 +187,25 @@ def build_optimizer(name, params, hyp, epochs, steps_per_epoch, batch_size, nbs=
             inner_opt = optax.chain(optax.scale_by_rms(decay=0.99, eps=1e-8), optax.trace(decay=beta1))
         else:
             inner_opt = optax.scale_by_adam(b1=beta1, b2=0.999)
-        tx = _wrap(
-            optax.chain(
-                optax.clip_by_global_norm(10.0),
-                optax.add_decayed_weights(weight_decay, mask=mask),
-                inner_opt,
-                optax.scale_by_schedule(
-                    lambda s: -sch.lr(s.astype(jnp.float32) * float(accumulate))
-                ),
-            )
-        )
+        core = [optax.clip_by_global_norm(10.0)]  # reference clips grad norm 10.0 (train.py:417)
+        if name.lower() == "adamw":
+            # torch AdamW DECOUPLES decay: applied after the adaptive
+            # normalizer, scaled only by lr (the final scale below)
+            core += [inner_opt, optax.add_decayed_weights(weight_decay, mask=mask)]
+        else:
+            # torch Adam/RMSprop couple L2 into the gradient pre-normalizer
+            core += [optax.add_decayed_weights(weight_decay, mask=mask), inner_opt]
+
+        def neg_lr(fn):
+            return optax.scale_by_schedule(lambda s: -fn(s.astype(jnp.float32) * float(accumulate)))
+
+        # the bias group warms up from warmup_bias_lr=0.1 regardless of
+        # optimizer (reference train.py:383-391 interpolates group 0's lr)
+        core.append(optax.multi_transform(
+            {"bias": neg_lr(sch.bias_lr), "other": neg_lr(sch.lr)},
+            jax.tree.map(lambda l: "bias" if l == "bias" else "other", labels),
+        ))
+        tx = _wrap(optax.chain(*core))
     else:
         raise NotImplementedError(f"Optimizer {name} not implemented")
     if freeze:
