@@ -109,6 +109,14 @@ def test_ensemble_val_and_detect(micro_model, tmp_path, rng):
     merged, _ = ens.predict(x)
     assert merged.shape[1] == 2 * single.shape[1]  # candidates concatenated
 
+    # autoshape wraps the FULL ensemble (not models[0]): its NMS sees the
+    # concatenated candidates of both members
+    ash = attempt_load(paths, autoshape=True)
+    assert hasattr(ash.model, "models") and len(ash.model.models) == 2
+    im = np.zeros((64, 64, 3), np.uint8)
+    dets = ash(im, size=64)
+    assert dets.xyxy is not None  # end-to-end ensemble inference runs
+
     # through the validator (non-native branch: Ensemble quacks like a backend)
     root = tmp_path / "ds"
     (root / "images" / "train").mkdir(parents=True)

@@ -157,3 +157,31 @@ def test_width_depth_multiples():
     spec = parse_spec(cfg)
     assert spec.layers[0].c2 == 32  # 64 * 0.5
     assert spec.layers[2].n == 3  # round(9 * 0.33)
+
+
+def test_activation_override_scoped_to_model():
+    """A cfg's `activation:` override applies to THAT model only (reference
+    yolo.py:313 sets Conv.default_act per parse) — tracing it must not leak
+    the process default into later models."""
+    import jax.numpy as jnp
+
+    from yolov3_tpu.models.detection import DetectionModel
+    from yolov3_tpu.models.spec import parse_spec
+    from yolov3_tpu.nn.activations import _DEFAULT_ACT, silu
+
+    layers = [
+        {"from": -1, "n": 1, "op": "Conv", "args": [8, 3, 2]},
+        {"from": -1, "n": 1, "op": "Conv", "args": [16, 3, 2]},
+        {"from": [1], "n": 1, "op": "Detect", "args": ["nc", "anchors"]},
+    ]
+    cfg = {"nc": 1, "anchors": [[10, 10, 20, 20, 30, 30]], "layers": layers}
+    m_relu = DetectionModel.from_config({**cfg, "activation": "relu"}, nc=1, imgsz=64)
+    assert _DEFAULT_ACT[0] is silu  # tracing the override did not leak
+    x = np.random.default_rng(0).normal(0, 50, (1, 64, 64, 3)).astype(np.float32)
+    out_relu = np.asarray(m_relu.predict(x)[0])
+    assert _DEFAULT_ACT[0] is silu
+    # same weights through a plain-SiLU graph must differ (the override APPLIED)
+    m_plain = DetectionModel(parse_spec(cfg, nc=1), m_relu.variables, jnp.float32)
+    out_plain = np.asarray(m_plain.predict(x)[0])
+    assert _DEFAULT_ACT[0] is silu
+    assert not np.allclose(out_relu, out_plain)

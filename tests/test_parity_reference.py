@@ -476,3 +476,21 @@ def test_flagship_forward_parity(name, n_params):
     our_out = _our_forward(ours, x[None])
     assert ref_out.shape == our_out.shape
     np.testing.assert_allclose(our_out, ref_out, atol=5e-3, rtol=1e-3)
+
+
+def test_multibackend_loads_reference_pt(ref_tiny, our_tiny, tmp_path):
+    """The torch_pt MultiBackend route converts a reference .pt on load
+    (reference DetectMultiBackend treats .pt as first-class, common.py:447) —
+    decoded outputs must match the in-framework converted model."""
+    from yolov3_tpu.models.backend import MultiBackend
+
+    pt = tmp_path / "yolov3-tiny.pt"
+    torch.save(ref_tiny.state_dict(), pt)
+    mb = MultiBackend(str(pt))
+    assert mb.format == "torch_pt" and int(mb.stride) == 32
+    imgs, _ = _synth_batch()
+    pred = np.asarray(mb(imgs[:2]))  # normalizes uint8 internally; fused model
+    want, _ = our_tiny.predict(jnp.asarray(imgs[:2], jnp.float32) / 255.0)
+    want = np.asarray(want)
+    assert pred.shape == want.shape
+    np.testing.assert_allclose(pred, want, rtol=5e-3, atol=5e-3)

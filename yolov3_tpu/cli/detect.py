@@ -201,8 +201,6 @@ def run(
             n_valid = np.asarray(n_valid)
         if visualize:
             visualize_features(im, save_dir / Path(path[0] if webcam else path).stem)
-        with dt[2]:
-            pass
 
         for i in range(im.shape[0]):
             seen += 1
@@ -221,7 +219,8 @@ def run(
             s_i += "{:g}x{:g} ".format(*im.shape[1:3])
             annotator = Annotator(np.ascontiguousarray(im0), line_width=line_thickness)
             if len(det):
-                det[:, :4] = np.asarray(scale_boxes(im.shape[1:3], det[:, :4], im0.shape[:2])).round()
+                with dt[2]:  # postprocess: boxes back to native resolution
+                    det[:, :4] = np.asarray(scale_boxes(im.shape[1:3], det[:, :4], im0.shape[:2])).round()
                 for c in np.unique(det[:, 5]):
                     n = int((det[:, 5] == c).sum())
                     s_i += f"{n} {names.get(int(c), int(c))}{'s' * (n > 1)}, "

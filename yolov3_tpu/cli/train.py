@@ -94,6 +94,10 @@ def main(opt=None):
     if opt.resume:  # locate the latest run's dir (reference train.py:642-654)
         if isinstance(opt.resume, str) and Path(opt.resume).exists():
             save_dir = Path(opt.resume)
+            if save_dir.parent.name == "weights":
+                # the reference convention passes the CHECKPOINT path
+                # (--resume runs/train/exp/weights/last) — resume its run dir
+                save_dir = save_dir.parent.parent
         else:
             from yolov3_tpu.utils.general import get_latest_run
 

@@ -32,10 +32,14 @@ class AutoShape:
     def __init__(self, model):
         from yolov3_tpu.models.detection import optimize_for_inference
 
+        if hasattr(model, "models"):  # Ensemble: optimize every member
+            from yolov3_tpu.models.ensemble import Ensemble
+
+            model = Ensemble([optimize_for_inference(m) for m in model.models])
         self.model = optimize_for_inference(model) if hasattr(model, "fuse") else model
         self.names = model.names
         self.stride = int(model.stride)
-        self._infer = None
+        self._infer = {}  # keyed on the NMS settings: attr mutations take effect
 
     def _build_infer(self):
         import jax
@@ -44,15 +48,23 @@ class AutoShape:
         from yolov3_tpu.models.detect_head import decode_predictions
         from yolov3_tpu.ops.nms import batched_nms
 
-        module, anchors, strides = self.model.module, self.model.anchors_px, self.model.spec.strides
         conf, iou = self.conf, self.iou
         classes = tuple(self.classes) if self.classes else None
+        members = getattr(self.model, "models", None)  # Ensemble -> all members
+
+        def decode_one(m, variables, x):
+            feats = m.module.apply(variables, x, train=False)
+            return decode_predictions(feats, m.anchors_px, m.spec.strides)
 
         @jax.jit
         def infer(variables, imgs_u8):
             x = imgs_u8.astype(jnp.float32) / 255.0
-            feats = module.apply(variables, x, train=False)
-            pred = decode_predictions(feats, anchors, strides)
+            if members is None:
+                pred = decode_one(self.model, variables, x)
+            else:  # concat-NMS ensemble (reference experimental.py:83)
+                pred = jnp.concatenate(
+                    [decode_one(m, v, x) for m, v in zip(members, variables)], axis=1
+                )
             return batched_nms(
                 pred, conf_thres=conf, iou_thres=iou, classes=classes,
                 agnostic=self.agnostic, multi_label=self.multi_label,
@@ -94,9 +106,13 @@ class AutoShape:
         with dt[1]:
             import jax
 
-            if self._infer is None:
-                self._infer = self._build_infer()
-            dets, n_valid = self._infer(self.model.variables, jax.device_put(np.ascontiguousarray(batch)))
+            # the reference AutoShape reads conf/iou/classes/... per forward
+            # (common.py:771-812); cache one jitted program per settings tuple
+            key = (self.conf, self.iou, tuple(self.classes) if self.classes else None,
+                   self.agnostic, self.multi_label, self.max_det)
+            if key not in self._infer:
+                self._infer[key] = self._build_infer()
+            dets, n_valid = self._infer[key](self.model.variables, jax.device_put(np.ascontiguousarray(batch)))
             dets = np.asarray(dets)
             n_valid = np.asarray(n_valid)
 

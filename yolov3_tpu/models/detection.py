@@ -111,10 +111,22 @@ class YOLOGraph(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         spec = self.spec
-        if spec.activation:  # YAML `activation:` override (reference yolo.py:313)
-            from yolov3_tpu.nn.activations import set_default_activation
+        if not spec.activation:
+            return self._call_impl(x, train)
+        # YAML `activation:` override (reference yolo.py:313): scope the
+        # process-wide default to THIS trace — leaking it would contaminate
+        # every other model traced afterwards in the same process
+        from yolov3_tpu.nn.activations import _DEFAULT_ACT, set_default_activation
 
-            set_default_activation(spec.activation)
+        prev = _DEFAULT_ACT[0]
+        set_default_activation(spec.activation)
+        try:
+            return self._call_impl(x, train)
+        finally:
+            _DEFAULT_ACT[0] = prev
+
+    def _call_impl(self, x, train: bool = False):
+        spec = self.spec
         x = x.astype(self.dtype)
         body, detect = spec.layers[:-1], spec.layers[-1]
         assert detect.op == "Detect", "spec must end with a Detect layer"
@@ -297,7 +309,8 @@ def optimize_for_inference(model: DetectionModel, bf16=None) -> DetectionModel:
         bf16 = jax.devices()[0].platform != "cpu"
     if bf16:
         model = DetectionModel(
-            model.spec, cast_variables_for_inference(model.variables), jnp.bfloat16, model.names, model.fused
+            model.spec, cast_variables_for_inference(model.variables), jnp.bfloat16, model.names,
+            model.fused, model.s2d_stem,
         )
     return model
 

@@ -68,5 +68,5 @@ def attempt_load(weights, autoshape=False):
     if autoshape:
         from yolov3_tpu.models.autoshape import AutoShape
 
-        out = AutoShape(out if len(models) == 1 else models[0])
+        out = AutoShape(out)  # AutoShape runs the full concat-NMS ensemble
     return out

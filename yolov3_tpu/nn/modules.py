@@ -24,6 +24,7 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from yolov3_tpu.nn.activations import get_activation
 
@@ -390,19 +391,21 @@ class BottleneckCSP(nn.Module):
     g: int = 1
     e: float = 0.5
     dtype: Any = jnp.float32
+    fused: bool = False  # the standalone concat-BN stays (running stats kept by fuse_variables)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.c2 * self.e)
-        y1 = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        y1 = Conv(c_, 1, 1, dtype=self.dtype, fused=self.fused, name="cv1")(x, train)
         for i in range(self.n):
-            y1 = Bottleneck(c_, self.shortcut, self.g, e=1.0, dtype=self.dtype, name=f"m{i}")(y1, train)
+            y1 = Bottleneck(c_, self.shortcut, self.g, e=1.0, dtype=self.dtype, fused=self.fused,
+                            name=f"m{i}")(y1, train)
         y1 = nn.Conv(c_, (1, 1), use_bias=False, kernel_init=conv_kernel_init, dtype=self.dtype, name="cv3")(y1)
         y2 = nn.Conv(c_, (1, 1), use_bias=False, kernel_init=conv_kernel_init, dtype=self.dtype, name="cv2")(x)
         y = jnp.concatenate([y1, y2], axis=-1)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3, name="bn")(y)
         y = get_activation("silu")(y)
-        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv4")(y, train)
+        return Conv(self.c2, 1, 1, dtype=self.dtype, fused=self.fused, name="cv4")(y, train)
 
 
 class C3(nn.Module):
@@ -414,15 +417,18 @@ class C3(nn.Module):
     g: int = 1
     e: float = 0.5
     dtype: Any = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.c2 * self.e)
-        y1 = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        y1 = Conv(c_, 1, 1, dtype=self.dtype, fused=self.fused, name="cv1")(x, train)
         for i in range(self.n):
-            y1 = Bottleneck(c_, self.shortcut, self.g, e=1.0, dtype=self.dtype, name=f"m{i}")(y1, train)
-        y2 = Conv(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
-        return Conv(self.c2, 1, dtype=self.dtype, name="cv3")(jnp.concatenate([y1, y2], axis=-1), train)
+            y1 = Bottleneck(c_, self.shortcut, self.g, e=1.0, dtype=self.dtype, fused=self.fused,
+                            name=f"m{i}")(y1, train)
+        y2 = Conv(c_, 1, 1, dtype=self.dtype, fused=self.fused, name="cv2")(x, train)
+        return Conv(self.c2, 1, dtype=self.dtype, fused=self.fused, name="cv3")(
+            jnp.concatenate([y1, y2], axis=-1), train)
 
 
 class SPP(nn.Module):
@@ -475,13 +481,15 @@ class Focus(nn.Module):
     g: int = 1
     act: Any = True
     dtype: Any = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = jnp.concatenate(
             [x[:, ::2, ::2, :], x[:, 1::2, ::2, :], x[:, ::2, 1::2, :], x[:, 1::2, 1::2, :]], axis=-1
         )
-        return Conv(self.c2, self.k, self.s, self.p, self.g, act=self.act, dtype=self.dtype, name="conv")(x, train)
+        return Conv(self.c2, self.k, self.s, self.p, self.g, act=self.act, dtype=self.dtype,
+                    fused=self.fused, name="conv")(x, train)
 
 
 class GhostConv(nn.Module):
@@ -493,14 +501,17 @@ class GhostConv(nn.Module):
     g: int = 1
     act: Any = True
     dtype: Any = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = self.c2 // 2
-        y = Conv(c_, self.k, self.s, None, self.g, act=self.act, dtype=self.dtype, name="cv1")(x, train)
+        y = Conv(c_, self.k, self.s, None, self.g, act=self.act, dtype=self.dtype,
+                 fused=self.fused, name="cv1")(x, train)
         import math
 
-        y2 = Conv(c_, 5, 1, None, g=math.gcd(c_, c_), act=self.act, dtype=self.dtype, name="cv2")(y, train)
+        y2 = Conv(c_, 5, 1, None, g=math.gcd(c_, c_), act=self.act, dtype=self.dtype,
+                  fused=self.fused, name="cv2")(y, train)
         return jnp.concatenate([y, y2], axis=-1)
 
 
@@ -604,19 +615,21 @@ class GhostBottleneck(nn.Module):
     k: int = 3
     s: int = 1
     dtype: Any = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = self.c2 // 2
-        y = GhostConv(c_, 1, 1, act=True, dtype=self.dtype, name="gc1")(x, train)
+        kw = {"dtype": self.dtype, "fused": self.fused}
+        y = GhostConv(c_, 1, 1, act=True, name="gc1", **kw)(x, train)
         if self.s == 2:
-            y = DWConv(c_, self.k, self.s, act=False, dtype=self.dtype, name="dw")(y, train)
-        y = GhostConv(self.c2, 1, 1, act=False, dtype=self.dtype, name="gc2")(y, train)
+            y = DWConv(c_, self.k, self.s, act=False, name="dw", **kw)(y, train)
+        y = GhostConv(self.c2, 1, 1, act=False, name="gc2", **kw)(y, train)
         if self.s == 2:
-            sc = DWConv(x.shape[-1], self.k, self.s, act=False, dtype=self.dtype, name="dws")(x, train)
-            sc = Conv(self.c2, 1, 1, act=False, dtype=self.dtype, name="sc")(sc, train)
+            sc = DWConv(x.shape[-1], self.k, self.s, act=False, name="dws", **kw)(x, train)
+            sc = Conv(self.c2, 1, 1, act=False, name="sc", **kw)(sc, train)
         else:
-            sc = x if x.shape[-1] == self.c2 else Conv(self.c2, 1, 1, act=False, dtype=self.dtype, name="sc")(x, train)
+            sc = x if x.shape[-1] == self.c2 else Conv(self.c2, 1, 1, act=False, name="sc", **kw)(x, train)
         return y + sc
 
 
@@ -654,11 +667,12 @@ class TransformerBlock(nn.Module):
     num_heads: int = 4
     num_layers: int = 1
     dtype: Any = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         if x.shape[-1] != self.c2:
-            x = Conv(self.c2, dtype=self.dtype, name="conv")(x, train)
+            x = Conv(self.c2, dtype=self.dtype, fused=self.fused, name="conv")(x, train)
         b, h, w, c = x.shape
         p = x.reshape(b, h * w, c).transpose(1, 0, 2)  # (seq, batch, c)
         pos = nn.Dense(c, dtype=self.dtype, name="linear")(p)
@@ -678,13 +692,15 @@ class CrossConv(nn.Module):
     e: float = 1.0
     shortcut: bool = False
     dtype: Any = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c1 = x.shape[-1]
         c_ = int(self.c2 * self.e)
-        y = Conv(c_, (1, self.k), (1, self.s), dtype=self.dtype, name="cv1")(x, train)
-        y = Conv(self.c2, (self.k, 1), (self.s, 1), g=self.g, dtype=self.dtype, name="cv2")(y, train)
+        y = Conv(c_, (1, self.k), (1, self.s), dtype=self.dtype, fused=self.fused, name="cv1")(x, train)
+        y = Conv(self.c2, (self.k, 1), (self.s, 1), g=self.g, dtype=self.dtype, fused=self.fused,
+                 name="cv2")(y, train)
         return x + y if (self.shortcut and c1 == self.c2) else y
 
 
@@ -694,11 +710,13 @@ class C3x(C3):
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.c2 * self.e)
-        y1 = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        y1 = Conv(c_, 1, 1, dtype=self.dtype, fused=self.fused, name="cv1")(x, train)
         for i in range(self.n):
-            y1 = CrossConv(c_, 3, 1, self.g, 1.0, self.shortcut, dtype=self.dtype, name=f"m{i}")(y1, train)
-        y2 = Conv(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
-        return Conv(self.c2, 1, dtype=self.dtype, name="cv3")(jnp.concatenate([y1, y2], axis=-1), train)
+            y1 = CrossConv(c_, 3, 1, self.g, 1.0, self.shortcut, dtype=self.dtype,
+                           fused=self.fused, name=f"m{i}")(y1, train)
+        y2 = Conv(c_, 1, 1, dtype=self.dtype, fused=self.fused, name="cv2")(x, train)
+        return Conv(self.c2, 1, dtype=self.dtype, fused=self.fused, name="cv3")(
+            jnp.concatenate([y1, y2], axis=-1), train)
 
 
 class C3TR(C3):
@@ -707,10 +725,11 @@ class C3TR(C3):
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.c2 * self.e)
-        y1 = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
-        y1 = TransformerBlock(c_, 4, self.n, dtype=self.dtype, name="m")(y1, train)
-        y2 = Conv(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
-        return Conv(self.c2, 1, dtype=self.dtype, name="cv3")(jnp.concatenate([y1, y2], axis=-1), train)
+        y1 = Conv(c_, 1, 1, dtype=self.dtype, fused=self.fused, name="cv1")(x, train)
+        y1 = TransformerBlock(c_, 4, self.n, dtype=self.dtype, fused=self.fused, name="m")(y1, train)
+        y2 = Conv(c_, 1, 1, dtype=self.dtype, fused=self.fused, name="cv2")(x, train)
+        return Conv(self.c2, 1, dtype=self.dtype, fused=self.fused, name="cv3")(
+            jnp.concatenate([y1, y2], axis=-1), train)
 
 
 class C3SPP(C3):
@@ -721,10 +740,11 @@ class C3SPP(C3):
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.c2 * self.e)
-        y1 = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
-        y1 = SPP(c_, self.k, dtype=self.dtype, name="m")(y1, train)
-        y2 = Conv(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
-        return Conv(self.c2, 1, dtype=self.dtype, name="cv3")(jnp.concatenate([y1, y2], axis=-1), train)
+        y1 = Conv(c_, 1, 1, dtype=self.dtype, fused=self.fused, name="cv1")(x, train)
+        y1 = SPP(c_, self.k, dtype=self.dtype, fused=self.fused, name="m")(y1, train)
+        y2 = Conv(c_, 1, 1, dtype=self.dtype, fused=self.fused, name="cv2")(x, train)
+        return Conv(self.c2, 1, dtype=self.dtype, fused=self.fused, name="cv3")(
+            jnp.concatenate([y1, y2], axis=-1), train)
 
 
 class C3Ghost(C3):
@@ -733,11 +753,12 @@ class C3Ghost(C3):
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.c2 * self.e)
-        y1 = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        y1 = Conv(c_, 1, 1, dtype=self.dtype, fused=self.fused, name="cv1")(x, train)
         for i in range(self.n):
-            y1 = GhostBottleneck(c_, dtype=self.dtype, name=f"m{i}")(y1, train)
-        y2 = Conv(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
-        return Conv(self.c2, 1, dtype=self.dtype, name="cv3")(jnp.concatenate([y1, y2], axis=-1), train)
+            y1 = GhostBottleneck(c_, dtype=self.dtype, fused=self.fused, name=f"m{i}")(y1, train)
+        y2 = Conv(c_, 1, 1, dtype=self.dtype, fused=self.fused, name="cv2")(x, train)
+        return Conv(self.c2, 1, dtype=self.dtype, fused=self.fused, name="cv3")(
+            jnp.concatenate([y1, y2], axis=-1), train)
 
 
 class MixConv2d(nn.Module):
@@ -751,7 +772,10 @@ class MixConv2d(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         n = len(self.k)
-        splits = [self.c2 // n + (1 if i < self.c2 % n else 0) for i in range(n)]
+        # reference equal_ch split (experimental.py:55): linspace-floor puts
+        # remainder channels in the LAST groups — order matters for .pt parity
+        lin = np.floor(np.linspace(0, n - 1e-6, self.c2))
+        splits = [int((lin == g).sum()) for g in range(n)]
         outs = [
             nn.Conv(c, (k, k), strides=self.s, padding=k // 2, use_bias=False,
                     kernel_init=conv_kernel_init, dtype=self.dtype, name=f"m{i}")(x)

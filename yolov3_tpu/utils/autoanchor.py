@@ -79,8 +79,10 @@ def kmean_anchors(wh, n=9, thr=4.0, gen=1000, verbose=False):
     for _ in range(gen):
         v = np.ones(sh)
         while (v == 1).all():
-            v = ((rng.random(sh) < mp) * rng.random() * rng.normal(1, sigma, sh)).clip(0.3, 3.0)
-            v[v == 0] = 1
+            # reference mutation (autoanchor.py:150): noise CENTERED AT 1 —
+            # mask*uniform*normal(0,s) + 1 leaves unmutated genes exactly 1;
+            # clipping a 0-centered product first would scale them all by 0.3
+            v = ((rng.random(sh) < mp) * rng.random() * rng.normal(0, sigma, sh) + 1).clip(0.3, 3.0)
         kg = (k * v).clip(min=2.0)
         fg = _anchor_fitness(wh, kg, thr)
         if fg > f:

@@ -75,6 +75,9 @@ def spec_to_dict(spec):
         "ch": spec.ch_in,
         "depth_multiple": 1.0,
         "width_multiple": 1.0,
+        # a custom default-activation override must survive the round trip or
+        # the reloaded net silently runs SiLU
+        **({"activation": spec.activation} if spec.activation else {}),
         "anchors": [list(a) for a in spec.anchors],
         "layers": [
             {

@@ -240,8 +240,8 @@ class Loggers:
         )
         callbacks.register_action(
             "on_model_save", "loggers",
-            lambda last=None, epoch=0, final=False, fitness=0.0, best=False, **kw:
-                self.on_model_save(last, epoch, final, fitness, best),
+            lambda last=None, epoch=0, final=False, fitness=0.0, best=False, save_period=-1, **kw:
+                self.on_model_save(last, epoch, final, fitness, best, save_period),
         )
         callbacks.register_action("on_train_end", "loggers", lambda **kw: self.on_train_end(self.csv_file))
         return callbacks
