@@ -107,8 +107,8 @@ def _free_port():
         return s.getsockname()[1]
 
 
-@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices for the oracle")
-def test_two_process_global_step_matches_single_process():
+def _launch_pair():
+    """Run the two coordinated workers once; returns (ok, outs, errs)."""
     port = _free_port()
     procs = [
         subprocess.Popen(
@@ -117,16 +117,35 @@ def test_two_process_global_step_matches_single_process():
         )
         for pid in range(2)
     ]
-    outs = []
+    outs, errs, ok = [], [], True
     for p in procs:
         try:
             out, err = p.communicate(timeout=900)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
-            raise
-        assert p.returncode == 0, err[-4000:]
+            out, err = p.communicate()
+            err = (err or "") + "\nworker communicate() timed out"
+            ok = False
+        ok = ok and p.returncode == 0
         outs.append(out)
+        errs.append(err)
+    return ok, outs, errs
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices for the oracle")
+def test_two_process_global_step_matches_single_process():
+    ok, outs, errs = _launch_pair()
+    if not ok:
+        # coordination-service flakes (barrier/heartbeat deadlines) happen when
+        # 2x4 virtual devices + the 8-device pytest process share one loaded
+        # core — same signature __graft_entry__'s dryrun retries on; one retry
+        blob = "\n".join(errs).lower()
+        flaky = any(k in blob for k in
+                    ("deadline", "rendezvous", "heartbeat", "barrier", "unavailable", "timed out"))
+        assert flaky, "\n".join(e[-2000:] for e in errs)
+        ok, outs, errs = _launch_pair()
+        assert ok, "\n".join(e[-4000:] for e in errs)
 
     def parse(tag, out):
         for line in out.splitlines():
