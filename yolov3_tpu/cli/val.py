@@ -19,24 +19,9 @@ from yolov3_tpu.utils.general import LOGGER, check_yaml, increment_path, print_a
 
 
 def load_weights(weights):
-    from yolov3_tpu.models.detection import DetectionModel
+    from yolov3_tpu.models.loading import load_weights as _load
 
-    p = Path(str(weights))
-    if p.exists() and (p / "checkpoint.yaml").exists():
-        from yolov3_tpu.utils.checkpoint import load_model_from_checkpoint
-
-        return load_model_from_checkpoint(weights)
-    if p.suffix == ".pt" and p.exists():  # reference torch checkpoint (hub.py route)
-        from yolov3_tpu.models.convert import convert_torch_checkpoint
-        from yolov3_tpu.utils.general import LOGGER
-
-        cfg = p.stem if "yolov3" in p.stem else "yolov3"
-        model = DetectionModel.from_config(cfg, imgsz=64)
-        variables, report = convert_torch_checkpoint(str(p), model)
-        if report["missed"]:
-            LOGGER.warning(f"{len(report['missed'])} tensors failed to convert from {p}")
-        return model.replace_variables(variables)
-    return DetectionModel.from_config(str(weights), imgsz=64)
+    return _load(weights)
 
 
 def run(

@@ -84,7 +84,10 @@ def export_checkpoint(model, file, imgsz=640):
         out,
         {"params": model.variables["params"], "batch_stats": model.variables.get("batch_stats", {})},
         spec=model.spec,
-        meta={"names": {int(k): v for k, v in model.names.items()}, "stripped": True},
+        # `fused` must round-trip: a BN-folded tree loaded into an unfused
+        # graph is missing every bn param (export --half fuses the model)
+        meta={"names": {int(k): v for k, v in model.names.items()}, "stripped": True,
+              "fused": bool(model.fused)},
     )
     return out
 
@@ -106,7 +109,13 @@ def export_stablehlo(model, file, imgsz=640, batch=1, include_nms=False, dynamic
         spec = jax.ShapeDtypeStruct((bdim, imgsz, imgsz, 3), np.uint8)
     else:
         spec = jax.ShapeDtypeStruct((batch, imgsz, imgsz, 3), np.uint8)
-    exported = jexport.export(jax.jit(serve))(spec)
+    try:
+        # multi-platform lowering: the artifact must load on any PJRT plugin
+        # (a default export is pinned to the exporting host's platform)
+        exported = jexport.export(jax.jit(serve), platforms=("cpu", "tpu", "cuda"))(spec)
+    except Exception as e:  # noqa: BLE001 — an op without cross-platform lowering
+        LOGGER.warning(f"multi-platform stablehlo export failed ({e}); exporting for this platform only")
+        exported = jexport.export(jax.jit(serve))(spec)
     out = Path(file).with_suffix(".stablehlo")
     out.write_bytes(exported.serialize())
     _write_metadata(out, model, imgsz)
@@ -202,11 +211,11 @@ def export_tflite(model, file, imgsz=640, batch=1, include_nms=False, int8=False
 
 
 @try_export
-def export_onnx(model, file, imgsz=640, batch=1):
+def export_onnx(model, file, imgsz=640, batch=1, include_nms=False):
     """ONNX via tf2onnx on the SavedModel (requires tensorflow + tf2onnx)."""
     import tf2onnx  # noqa: F401
 
-    sm = export_savedmodel(model, file, imgsz, batch)
+    sm = export_savedmodel(model, file, imgsz, batch, include_nms)
     assert sm is not None, "savedmodel export failed"
     out = Path(file).with_suffix(".onnx")
     import subprocess
@@ -241,7 +250,7 @@ def run(weights="yolov3-tiny", include=("checkpoint", "stablehlo"), imgsz=640, b
             "stablehlo": lambda: export_stablehlo(model, base, imgsz, batch, nms, dynamic),
             "savedmodel": lambda: export_savedmodel(model, base, imgsz, batch, nms, dynamic),
             "tflite": lambda: export_tflite(model, base, imgsz, batch, nms, int8, data),
-            "onnx": lambda: export_onnx(model, base, imgsz, batch),
+            "onnx": lambda: export_onnx(model, base, imgsz, batch, nms),
         }[fmt]
         results[fmt] = fn()
     return results

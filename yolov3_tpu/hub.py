@@ -10,37 +10,21 @@ as plain functions: yolov3(), yolov3_spp(), yolov3_tiny(), custom().
 
 from __future__ import annotations
 
-from pathlib import Path
-
 from yolov3_tpu.models.autoshape import AutoShape
-from yolov3_tpu.models.detection import DetectionModel
-from yolov3_tpu.utils.general import LOGGER
 
 
 def _create(name, channels=3, classes=80, autoshape=True, ckpt=None):
-    """Build a model from a config name, a checkpoint dir, or a torch .pt file."""
-    path = Path(str(ckpt or name))
-    if path.exists() and (path / "checkpoint.yaml").exists():  # our checkpoint dir
-        from yolov3_tpu.utils.checkpoint import load_model_from_checkpoint
+    """Build a model from a config name, a checkpoint dir, or a torch .pt file
+    (one shared loader behind every entry point — models/loading.py)."""
+    from yolov3_tpu.models.loading import load_weights
 
-        model = load_model_from_checkpoint(path)
-    elif path.suffix == ".pt" and path.exists():  # reference torch checkpoint
-        from yolov3_tpu.models.convert import convert_torch_checkpoint
-
-        cfg = path.stem if "yolov3" in path.stem else "yolov3"
-        model = DetectionModel.from_config(cfg, ch=channels, nc=classes, imgsz=64)
-        variables, report = convert_torch_checkpoint(str(path), model)
-        if report["missed"]:
-            LOGGER.warning(f"{len(report['missed'])} tensors failed to convert from {path}")
-        model = model.replace_variables(variables)
-    else:
-        model = DetectionModel.from_config(str(name), ch=channels, nc=classes, imgsz=64)
+    model = load_weights(ckpt or name, ch=channels, nc=classes)
     return AutoShape(model) if autoshape else model
 
 
-def custom(path, autoshape=True):
+def custom(path, autoshape=True, channels=3, classes=80):
     """Load a custom/trained checkpoint (reference hubconf.py:89-116)."""
-    return _create(path, autoshape=autoshape, ckpt=path)
+    return _create(path, channels, classes, autoshape=autoshape, ckpt=path)
 
 
 def yolov3(channels=3, classes=80, autoshape=True):

@@ -113,7 +113,8 @@ def load_model_from_checkpoint(path, dtype=None):
         variables = state["ema"]["ema"]
     else:
         variables = {"params": state["params"], "batch_stats": state.get("batch_stats", {})}
-    model = DetectionModel(spec, dict(variables), dtype or jnp.float32)
+    model = DetectionModel(spec, dict(variables), dtype or jnp.float32,
+                           fused=bool(meta.get("fused", False)))
     names = meta.get("names")
     if names:
         model.names = {int(k): v for k, v in names.items()} if isinstance(names, dict) else dict(enumerate(names))
