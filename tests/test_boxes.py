@@ -58,8 +58,8 @@ def test_ciou_identical_boxes_is_one():
 def test_ciou_less_than_iou_when_offset():
     a = np.array([[10.0, 10.0, 4.0, 6.0]])
     b = np.array([[12.0, 11.0, 4.0, 6.0]])
-    iou = float(np.asarray(B.bbox_iou(a, b)))
-    ciou = float(np.asarray(B.bbox_iou(a, b, CIoU=True)))
+    iou = np.asarray(B.bbox_iou(a, b)).item()
+    ciou = np.asarray(B.bbox_iou(a, b, CIoU=True)).item()
     assert ciou < iou  # center-distance penalty
 
 
