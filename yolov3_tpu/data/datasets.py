@@ -494,6 +494,16 @@ class DataLoader:
                     # GIL) — the reference's num_workers analog (dataloaders.py:114)
                     from concurrent.futures import ThreadPoolExecutor
 
+                    # one cv2-internal thread per worker: without this each cv2
+                    # op fans out over every core, oversubscribing N workers ×
+                    # T cv2 threads (reference clamps globally, general.py:74)
+                    try:
+                        import cv2
+
+                        cv2.setNumThreads(0)
+                    except ImportError:
+                        pass
+
                     with ThreadPoolExecutor(self.workers) as pool:
                         pending = []
                         for batch_idx in self._batches():
