@@ -90,6 +90,38 @@ def test_collate_fixed(mini_ds, tmp_path):
     assert mask.sum() == sum(len(s[1]) for s in samples)
 
 
+def test_label_bucket_selection():
+    from yolov3_tpu.data.datasets import label_bucket
+
+    assert label_bucket(0, 300) == 32  # floor
+    assert label_bucket(5, 300) == 32
+    assert label_bucket(33, 300) == 64
+    assert label_bucket(100, 300) == 128
+    assert label_bucket(200, 300) == 256
+    assert label_bucket(257, 300) == 300  # cap, not 512
+    assert label_bucket(400, 300) == 300
+    assert label_bucket(40, 48) == 48  # cap below the power-of-two
+
+
+def test_collate_bucketed_shrinks_pad_keeps_labels(mini_ds, tmp_path):
+    ds = DetectionDataset(str(mini_ds / "images" / "train"), imgsz=96, num_cls=2, cache_dir=tmp_path / "cb")
+    samples = [ds[i] for i in range(4)]
+    full = collate_fixed(samples, max_labels=300)
+    bkt = collate_fixed(samples, max_labels=300, bucket=True)
+    assert bkt[1].shape[1] == 32  # mini_ds images carry few labels
+    assert bkt[2].sum() == full[2].sum()
+    # identical label content where both are valid
+    np.testing.assert_array_equal(bkt[1][bkt[2]], full[1][full[2]])
+
+
+def test_dataloader_label_buckets(mini_ds, tmp_path):
+    ds = DetectionDataset(str(mini_ds / "images" / "train"), imgsz=96, num_cls=2, cache_dir=tmp_path / "cb2")
+    for b_full, b_bkt in zip(DataLoader(ds, batch_size=2, max_labels=300),
+                             DataLoader(ds, batch_size=2, max_labels=300, label_buckets=True)):
+        assert b_bkt[1].shape[1] == 32 and b_full[1].shape[1] == 300
+        np.testing.assert_array_equal(b_bkt[1][b_bkt[2]], b_full[1][b_full[2]])
+
+
 def test_dataloader_iteration(mini_ds, tmp_path):
     ds = DetectionDataset(str(mini_ds / "images" / "train"), imgsz=96, num_cls=2, cache_dir=tmp_path / "c4")
     dl = DataLoader(ds, batch_size=2, shuffle=True, max_labels=8)

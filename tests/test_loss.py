@@ -143,6 +143,30 @@ def test_loss_no_targets(rng):
     assert float(comps[0]) == 0.0 and float(comps[2]) == 0.0
 
 
+def test_loss_invariant_to_label_pad_width(rng):
+    """Bucketed collate pads M to the batch (data/datasets.label_bucket); the
+    loss must be exactly invariant to how much masked padding trails the real
+    labels — gradients included."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = make_cfg()
+    feats, targets, mask = random_inputs(rng, m=8)
+    wide_t = np.zeros((targets.shape[0], 300, 5), np.float32)
+    wide_m = np.zeros((mask.shape[0], 300), bool)
+    wide_t[:, :8], wide_m[:, :8] = targets, mask
+
+    def f(feats, t, mk):
+        return compute_loss(feats, t, mk, cfg)[0]
+
+    jfeats = [jnp.asarray(x) for x in feats]
+    l_narrow, g_narrow = jax.value_and_grad(f)(jfeats, targets, mask)
+    l_wide, g_wide = jax.value_and_grad(f)(jfeats, wide_t, wide_m)
+    np.testing.assert_allclose(float(l_narrow), float(l_wide), rtol=1e-6)
+    for a, b in zip(g_narrow, g_wide):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
 def test_loss_is_differentiable(rng):
     import jax
     import jax.numpy as jnp

@@ -22,6 +22,7 @@ Kept semantics:
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import math
 import os
@@ -376,21 +377,42 @@ class DetectionDataset:
         return mosaic4(images, lbls, segs, self.imgsz, self.mosaic_border, self.hyp)
 
 
-def collate_fixed(samples, max_labels=300):
-    """Stack samples into fixed-shape arrays: (B,H,W,3) u8, (B,M,5) f32, (B,M) bool."""
+def label_bucket(n, max_labels, floor=32):
+    """Smallest power-of-two bucket >= n (floored at `floor`, capped at
+    max_labels). Bucketing the label dim per batch keeps the loss's candidate
+    tensor (5*na*B*M slots) sized to the data instead of the worst case —
+    at bs128 the M=300 pad is ~9x the slots a typical COCO batch needs — while
+    the handful of distinct buckets keeps XLA recompiles bounded, the same
+    static-shape discipline as multi-scale's 5 size buckets (train/loop.py)."""
+    if n >= max_labels:
+        return max_labels
+    m = floor
+    while m < n:
+        m *= 2
+    return min(m, max_labels)
+
+
+def collate_fixed(samples, max_labels=300, bucket=False):
+    """Stack samples into fixed-shape arrays: (B,H,W,3) u8, (B,M,5) f32, (B,M) bool.
+
+    With bucket=True, M is the smallest power-of-two bucket covering this
+    batch's real max label count (instead of always max_labels) — padding
+    semantics are unchanged, only the amount of masked-out padding shrinks.
+    """
     imgs = np.stack([s[0] for s in samples])
     B = len(samples)
-    targets = np.zeros((B, max_labels, 5), np.float32)
-    mask = np.zeros((B, max_labels), bool)
+    M = label_bucket(max(len(s[1]) for s in samples), max_labels) if bucket else max_labels
+    targets = np.zeros((B, M, 5), np.float32)
+    mask = np.zeros((B, M), bool)
     for b, s in enumerate(samples):
-        lb = s[1][:max_labels]
+        lb = s[1][:M]
         targets[b, : len(lb)] = lb
         mask[b, : len(lb)] = True
     shapes = [s[2] for s in samples]
     return imgs, targets, mask, shapes
 
 
-def collate_quad(samples, max_labels=300):
+def collate_quad(samples, max_labels=300, bucket=False):
     """Quad collate (reference collate_fn4, dataloaders.py:832-858): combine
     groups of 4 samples into one 2x-resolution image (stitched 2x2) with
     merged labels — trains large-image batches at 1/4 the batch count."""
@@ -412,7 +434,7 @@ def collate_quad(samples, max_labels=300):
                 lbs.append(lb)
         lbs = np.concatenate(lbs, 0) if lbs else np.zeros((0, 5), np.float32)
         out.append((im, lbs.astype(np.float32), quad[0][2]))
-    return collate_fixed(out, max_labels)
+    return collate_fixed(out, max_labels, bucket=bucket)
 
 
 class DataLoader:
@@ -422,11 +444,16 @@ class DataLoader:
     threads that release the GIL inside cv2)."""
 
     def __init__(self, dataset, batch_size=16, shuffle=False, max_labels=300, seed=0, drop_last=False,
-                 prefetch=2, quad=False, workers=1):
+                 prefetch=2, quad=False, workers=1, label_buckets=False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.max_labels = max_labels
+        # pad the label dim to a per-batch power-of-two bucket instead of
+        # max_labels. NOT safe under multi-process training: every process
+        # must feed the global jit identical shapes, and bucket choice is
+        # per-host-local (train/loop.py enables this only at process_count==1)
+        self.label_buckets = label_buckets
         self.rng = np.random.default_rng(seed)
         self.drop_last = drop_last or quad  # quad needs groups of 4
         self.prefetch = prefetch
@@ -485,7 +512,11 @@ class DataLoader:
 
         q = queue.Queue(maxsize=self.prefetch)
         stop = object()
-        collate = collate_quad if self.quad else collate_fixed
+        base = collate_quad if self.quad else collate_fixed
+        if self.label_buckets:
+            collate = functools.partial(base, bucket=True)
+        else:
+            collate = base
 
         def produce():
             try:

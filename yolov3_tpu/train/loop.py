@@ -168,8 +168,13 @@ def train(
         batch_size=batch_size, num_cls=nc, max_labels=max_labels, single_cls=single_cls,
         cache_images=cache_images,
     )
+    # per-batch label-dim buckets shrink the loss's fixed candidate tensor to
+    # the data (M=300 worst-case pad is ~9x a typical batch's need at bs128);
+    # multi-process needs identical global shapes on every host, so only the
+    # single-process case buckets
     train_loader = DataLoader(train_ds, batch_size=batch_size, shuffle=not rect, max_labels=max_labels,
-                              seed=seed, drop_last=True, quad=quad, workers=workers)
+                              seed=seed, drop_last=True, quad=quad, workers=workers,
+                              label_buckets=jax.process_count() == 1)
     if jax.process_count() > 1:
         train_loader.shard_per_host()
     steps_per_epoch = max(len(train_loader), 1)
