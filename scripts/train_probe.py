@@ -17,7 +17,8 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
-def main(model_name="yolov3", imgsz=640, batch=16, iters=4, remat=False, remat_seg=None, s2d_stem=False):
+def main(model_name="yolov3", imgsz=640, batch=16, iters=4, remat=False, remat_seg=None, s2d_stem=False,
+         max_labels=32, n_real=2):
     import jax
     import jax.numpy as jnp
 
@@ -40,11 +41,16 @@ def main(model_name="yolov3", imgsz=640, batch=16, iters=4, remat=False, remat_s
 
     rng = np.random.default_rng(0)
     imgs = rng.integers(0, 255, (iters, batch, imgsz, imgsz, 3), np.uint8)
-    targets = np.zeros((iters, batch, 32, 5), np.float32)
-    targets[..., 0, :] = [0, 0.5, 0.5, 0.3, 0.3]
-    targets[..., 1, :] = [1, 0.25, 0.25, 0.2, 0.2]
-    mask = np.zeros((iters, batch, 32), bool)
-    mask[..., :2] = True
+    # max_labels sets the padded label width M the loss pays for (5*na*B*M
+    # candidate slots/scale); n_real sets how many rows are valid — probe
+    # M=300 vs M=32 to measure what data/datasets.label_bucket buys
+    targets = np.zeros((iters, batch, max_labels, 5), np.float32)
+    r = rng.uniform(0.1, 0.9, (iters, batch, max_labels, 4)).astype(np.float32)
+    targets[..., 1:3] = r[..., :2]
+    targets[..., 3:5] = r[..., 2:] * 0.3 + 0.02
+    targets[..., 0] = rng.integers(0, 80, (iters, batch, max_labels))
+    mask = np.zeros((iters, batch, max_labels), bool)
+    mask[..., :n_real] = True
 
     @jax.jit
     def run_steps(state, imgs, targets, mask):
@@ -65,7 +71,8 @@ def main(model_name="yolov3", imgsz=640, batch=16, iters=4, remat=False, remat_s
         _, losses = run_steps(state, imgs_d, targets, mask)
         np.asarray(losses)
         best = min(best, time.perf_counter() - t0)
-    print(f"train {model_name}@{imgsz} bs{batch}: {batch * iters / best:.1f} img/s ({best * 1e3:.0f}ms/{iters} steps)", flush=True)
+    print(f"train {model_name}@{imgsz} bs{batch} M={max_labels} real={n_real}: "
+          f"{batch * iters / best:.1f} img/s ({best * 1e3:.0f}ms/{iters} steps)", flush=True)
 
 
 if __name__ == "__main__":
@@ -77,5 +84,7 @@ if __name__ == "__main__":
     p.add_argument("--remat", action="store_true")
     p.add_argument("--remat-seg", type=int, default=None)
     p.add_argument("--s2d-stem", action="store_true")
+    p.add_argument("--max-labels", type=int, default=32)
+    p.add_argument("--n-real", type=int, default=2)
     a = p.parse_args()
-    main(a.model, a.imgsz, a.batch, a.iters, a.remat, a.remat_seg, a.s2d_stem)
+    main(a.model, a.imgsz, a.batch, a.iters, a.remat, a.remat_seg, a.s2d_stem, a.max_labels, a.n_real)
