@@ -122,6 +122,22 @@ def test_dataloader_label_buckets(mini_ds, tmp_path):
         np.testing.assert_array_equal(b_bkt[1][b_bkt[2]], b_full[1][b_full[2]])
 
 
+def test_label_bucket_high_water_mark(mini_ds, tmp_path):
+    """Once a wider bucket is seen, later batches keep it (each new width is
+    an XLA recompile of the train step — widths must grow monotonically)."""
+    ds = DetectionDataset(str(mini_ds / "images" / "train"), imgsz=96, num_cls=2, cache_dir=tmp_path / "cb3")
+    dl = DataLoader(ds, batch_size=2, max_labels=300, label_buckets=True)
+    dl._label_hwm = 64  # simulate having seen a crowded batch
+    widths = [b[1].shape[1] for b in dl]
+    assert all(w == 64 for w in widths), widths
+    # and a genuinely wider batch still raises the mark
+    from yolov3_tpu.data.datasets import collate_fixed as cf
+
+    out = cf([(np.zeros((8, 8, 3), np.uint8), np.zeros((90, 5), np.float32), None)],
+             max_labels=300, bucket=True, floor=64)
+    assert out[1].shape[1] == 128
+
+
 def test_dataloader_iteration(mini_ds, tmp_path):
     ds = DetectionDataset(str(mini_ds / "images" / "train"), imgsz=96, num_cls=2, cache_dir=tmp_path / "c4")
     dl = DataLoader(ds, batch_size=2, shuffle=True, max_labels=8)

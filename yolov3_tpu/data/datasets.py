@@ -22,7 +22,6 @@ Kept semantics:
 
 from __future__ import annotations
 
-import functools
 import hashlib
 import math
 import os
@@ -392,7 +391,7 @@ def label_bucket(n, max_labels, floor=32):
     return min(m, max_labels)
 
 
-def collate_fixed(samples, max_labels=300, bucket=False):
+def collate_fixed(samples, max_labels=300, bucket=False, floor=32):
     """Stack samples into fixed-shape arrays: (B,H,W,3) u8, (B,M,5) f32, (B,M) bool.
 
     With bucket=True, M is the smallest power-of-two bucket covering this
@@ -401,7 +400,7 @@ def collate_fixed(samples, max_labels=300, bucket=False):
     """
     imgs = np.stack([s[0] for s in samples])
     B = len(samples)
-    M = label_bucket(max(len(s[1]) for s in samples), max_labels) if bucket else max_labels
+    M = label_bucket(max(len(s[1]) for s in samples), max_labels, floor) if bucket else max_labels
     targets = np.zeros((B, M, 5), np.float32)
     mask = np.zeros((B, M), bool)
     for b, s in enumerate(samples):
@@ -412,7 +411,7 @@ def collate_fixed(samples, max_labels=300, bucket=False):
     return imgs, targets, mask, shapes
 
 
-def collate_quad(samples, max_labels=300, bucket=False):
+def collate_quad(samples, max_labels=300, bucket=False, floor=32):
     """Quad collate (reference collate_fn4, dataloaders.py:832-858): combine
     groups of 4 samples into one 2x-resolution image (stitched 2x2) with
     merged labels — trains large-image batches at 1/4 the batch count."""
@@ -434,7 +433,7 @@ def collate_quad(samples, max_labels=300, bucket=False):
                 lbs.append(lb)
         lbs = np.concatenate(lbs, 0) if lbs else np.zeros((0, 5), np.float32)
         out.append((im, lbs.astype(np.float32), quad[0][2]))
-    return collate_fixed(out, max_labels, bucket=bucket)
+    return collate_fixed(out, max_labels, bucket=bucket, floor=floor)
 
 
 class DataLoader:
@@ -454,6 +453,7 @@ class DataLoader:
         # must feed the global jit identical shapes, and bucket choice is
         # per-host-local (train/loop.py enables this only at process_count==1)
         self.label_buckets = label_buckets
+        self._label_hwm = 32  # monotone bucket floor (see __iter__)
         self.rng = np.random.default_rng(seed)
         self.drop_last = drop_last or quad  # quad needs groups of 4
         self.prefetch = prefetch
@@ -514,7 +514,14 @@ class DataLoader:
         stop = object()
         base = collate_quad if self.quad else collate_fixed
         if self.label_buckets:
-            collate = functools.partial(base, bucket=True)
+            # high-water-mark floor: once a wider bucket is seen, stay there —
+            # each NEW width is an XLA recompile of the train step (minutes
+            # through a remote-compile runtime), so widths grow monotonically
+            # (<= 4 compiles ever: 32->64->128->256/max) and settle fast
+            def collate(samples, max_labels):
+                out = base(samples, max_labels, bucket=True, floor=self._label_hwm)
+                self._label_hwm = max(self._label_hwm, out[1].shape[1])
+                return out
         else:
             collate = base
 
