@@ -10,9 +10,7 @@ from __future__ import annotations
 
 import argparse
 import time
-from pathlib import Path
 
-import numpy as np
 
 from yolov3_tpu import export as export_mod
 from yolov3_tpu.utils.general import LOGGER, file_size

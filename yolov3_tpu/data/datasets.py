@@ -33,7 +33,7 @@ import cv2
 import numpy as np
 
 from yolov3_tpu.data.augment import augment_hsv, letterbox, mixup, mosaic4
-from yolov3_tpu.utils.general import LOGGER, NUM_THREADS
+from yolov3_tpu.utils.general import LOGGER
 from yolov3_tpu.ops.boxes import xywhn2xyxy, xyxy2xywhn
 
 IMG_FORMATS = ("bmp", "dng", "jpeg", "jpg", "mpo", "png", "tif", "tiff", "webp", "pfm")

@@ -13,7 +13,6 @@ import os
 import time
 from pathlib import Path
 from threading import Thread
-from urllib.parse import urlparse
 
 import cv2
 import numpy as np

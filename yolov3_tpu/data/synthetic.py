@@ -11,7 +11,6 @@ images/labels layout.
 
 from __future__ import annotations
 
-import math
 from pathlib import Path
 
 import cv2

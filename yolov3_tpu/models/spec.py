@@ -16,12 +16,11 @@ flax module, so jit caches key on the architecture.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any
 
-from yolov3_tpu.nn.modules import MODULE_REGISTRY, MULTI_INPUT_OPS
+from yolov3_tpu.nn.modules import MODULE_REGISTRY
 from yolov3_tpu.utils.general import LOGGER, make_divisible, yaml_load
 
 CONFIG_DIR = Path(__file__).parent / "configs"

@@ -30,7 +30,7 @@ from yolov3_tpu.data.datasets import DataLoader, DetectionDataset
 from yolov3_tpu.eval import validator
 from yolov3_tpu.eval.metrics import fitness
 from yolov3_tpu.models.detection import DetectionModel
-from yolov3_tpu.models.spec import ModelSpec
+
 from yolov3_tpu.parallel.mesh import create_mesh, replicate, shard_batch
 from yolov3_tpu.train.loss import LossConfig
 from yolov3_tpu.train.optim import EarlyStopping, build_optimizer

@@ -21,8 +21,6 @@ ONE compiled program over a `Mesh(("data",))`:
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp
