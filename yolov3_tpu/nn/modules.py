@@ -42,6 +42,36 @@ def autopad(k, p=None, d=1):
     return p
 
 
+def max_pool2d(x, k, s, p=0):
+    """NHWC max pool as separable shifted-slice maximums (torch MaxPool2d
+    semantics: square window, -inf padding of p on each side).
+
+    Deliberately NOT `lax.reduce_window`: for overlapping windows (stride <
+    kernel — yolov3-tiny's ZeroPad+k2s1 pool, SPP/SPPF's k5/9/13 s1 pyramids)
+    XLA lowers the reduce_window backward to SelectAndScatter, which GSPMD
+    mis-partitions when H/W are sharded — gradients come back wrong by ~45%
+    of scale on a spatially-sharded mesh (verified; tests/test_multichip.py
+    dp×sp parity). A k×k max is separable into k shifted strided slices per
+    axis folded with elementwise `maximum`, whose autodiff is plain
+    slice/select — exact under any sharding — and which fuses into adjacent
+    elementwise work instead of emitting a windowed op. Forward values are
+    bit-identical to reduce_window (same maxima)."""
+
+    def pool_axis(y, axis):
+        if p:
+            widths = [(0, 0)] * y.ndim
+            widths[axis] = (p, p)
+            y = jnp.pad(y, widths, constant_values=-jnp.inf if jnp.issubdtype(y.dtype, jnp.floating) else jnp.iinfo(y.dtype).min)
+        out = (y.shape[axis] - k) // s + 1
+        m = None
+        for i in range(k):
+            sl = jax.lax.slice_in_dim(y, i, i + (out - 1) * s + 1, stride=s, axis=axis)
+            m = sl if m is None else jnp.maximum(m, sl)
+        return m
+
+    return pool_axis(pool_axis(x, 1), 2)
+
+
 class _ConvParams(nn.Module):
     """Declares kernel/bias params with nn.Conv's exact names, shapes and
     inits, without running a conv — used by the space-to-depth stem paths that
@@ -443,9 +473,7 @@ class SPP(nn.Module):
     def __call__(self, x, train: bool = False):
         c_ = x.shape[-1] // 2
         x = Conv(c_, 1, 1, dtype=self.dtype, fused=self.fused, name="cv1")(x, train)
-        pools = [
-            nn.max_pool(x, (k, k), strides=(1, 1), padding=[(k // 2, k // 2), (k // 2, k // 2)]) for k in self.k
-        ]
+        pools = [max_pool2d(x, k, 1, k // 2) for k in self.k]
         x = jnp.concatenate([x, *pools], axis=-1)
         return Conv(self.c2, 1, 1, dtype=self.dtype, fused=self.fused, name="cv2")(x, train)
 
@@ -462,10 +490,9 @@ class SPPF(nn.Module):
     def __call__(self, x, train: bool = False):
         c_ = x.shape[-1] // 2
         x = Conv(c_, 1, 1, dtype=self.dtype, fused=self.fused, name="cv1")(x, train)
-        p = [(self.k // 2, self.k // 2)] * 2
-        y1 = nn.max_pool(x, (self.k, self.k), strides=(1, 1), padding=p)
-        y2 = nn.max_pool(y1, (self.k, self.k), strides=(1, 1), padding=p)
-        y3 = nn.max_pool(y2, (self.k, self.k), strides=(1, 1), padding=p)
+        y1 = max_pool2d(x, self.k, 1, self.k // 2)
+        y2 = max_pool2d(y1, self.k, 1, self.k // 2)
+        y3 = max_pool2d(y2, self.k, 1, self.k // 2)
         return Conv(self.c2, 1, 1, dtype=self.dtype, fused=self.fused, name="cv2")(
             jnp.concatenate([x, y1, y2, y3], axis=-1), train
         )
@@ -524,7 +551,7 @@ class MaxPool(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        return nn.max_pool(x, (self.k, self.k), strides=(self.s, self.s), padding=[(self.p, self.p)] * 2)
+        return max_pool2d(x, self.k, self.s, self.p)
 
 
 class ZeroPad(nn.Module):
