@@ -209,3 +209,40 @@ def test_label_cache_stays_aligned_after_corrupt_drop(tmp_path):
     for f, lb in zip(ds2.im_files, ds2.labels):
         i = int(Path(f).stem)
         assert int(lb[0, 0]) == i % 2, (f, lb)
+
+
+def test_dataloader_multi_scale_in_workers(mini_ds, tmp_path):
+    """Multi-scale resize runs inside the loader (VERDICT r3 #8: no cv2 loop
+    or device fetch on the trainer's hot loop): batch H/W follows the bucket
+    schedule with the given period, is deterministic given (seed, ms_offset),
+    and labels (normalized xywhn) are untouched by the square resize."""
+    ds = DetectionDataset(str(mini_ds / "images" / "train"), imgsz=96, num_cls=2, cache_dir=tmp_path / "ms")
+    buckets = [64, 96, 128]
+
+    def sizes_for(offset, workers):
+        dl = DataLoader(ds, batch_size=2, shuffle=False, max_labels=8, workers=workers)
+        dl.set_multi_scale(buckets, seed=3, period=1)  # period 1: new draw per batch
+        dl.ms_offset = offset
+        out = []
+        for imgs, targets, mask, _ in dl:
+            assert imgs.shape[1] == imgs.shape[2] and imgs.shape[1] in buckets
+            out.append(imgs.shape[1])
+        return out
+
+    s0 = sizes_for(0, workers=1)
+    assert s0 == sizes_for(0, workers=2)  # worker pool doesn't change the draw
+    assert len(set(s0 + sizes_for(2, workers=1))) > 1  # schedule actually varies
+
+    # period > 1 keeps the size constant within the window
+    dl = DataLoader(ds, batch_size=2, shuffle=False, max_labels=8)
+    dl.set_multi_scale(buckets, seed=3, period=10)
+    assert len({b[0].shape[1] for b in dl}) == 1
+
+    # labels are untouched: compare against a no-multi-scale epoch
+    dl_ms = DataLoader(ds, batch_size=2, shuffle=False, max_labels=8)
+    dl_ms.set_multi_scale([64], seed=0, period=1)
+    dl_plain = DataLoader(ds, batch_size=2, shuffle=False, max_labels=8)
+    for (im_a, t_a, m_a, _), (im_b, t_b, m_b, _) in zip(dl_ms, dl_plain):
+        assert im_a.shape[1:3] == (64, 64) and im_b.shape[1:3] == (96, 96)
+        np.testing.assert_array_equal(t_a, t_b)
+        np.testing.assert_array_equal(m_a, m_b)

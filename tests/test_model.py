@@ -185,3 +185,56 @@ def test_activation_override_scoped_to_model():
     out_plain = np.asarray(m_plain.predict(x)[0])
     assert _DEFAULT_ACT[0] is silu
     assert not np.allclose(out_relu, out_plain)
+
+
+# Kernel/stride/pad combos the shipped configs actually use: SPP k5/9/13 s1
+# p=k//2, SPPF k5 s1 p2, tiny's plain k2 s2 and the ZeroPad+k2 s1 trick,
+# plus a strided+padded case and odd spatial dims (ADVICE r3).
+@pytest.mark.parametrize(
+    "k,s,p,hw",
+    [(5, 1, 2, 16), (9, 1, 4, 16), (13, 1, 6, 16), (2, 2, 0, 16),
+     (2, 1, 0, 17), (3, 2, 1, 15), (5, 1, 2, 13)],
+)
+def test_max_pool2d_matches_reduce_window(k, s, p, hw):
+    """Forward bit-identity of the separable shifted-slice pool vs
+    lax.reduce_window (torch MaxPool2d semantics: -inf padding), and
+    gradient-mass preservation (per-element grads on tie-free random input
+    must match too — ties are measure-zero there)."""
+    from yolov3_tpu.nn.modules import max_pool2d
+
+    x = np.random.default_rng(k * 100 + s * 10 + p).normal(size=(2, hw, hw, 4)).astype(np.float32)
+
+    def ref_pool(y):
+        return jax.lax.reduce_window(
+            y, -jnp.inf, jax.lax.max, (1, k, k, 1), (1, s, s, 1),
+            [(0, 0), (p, p), (p, p), (0, 0)],
+        )
+
+    ours = np.asarray(max_pool2d(jnp.asarray(x), k, s, p))
+    ref = np.asarray(ref_pool(jnp.asarray(x)))
+    assert ours.shape == ref.shape
+    np.testing.assert_array_equal(ours, ref)
+
+    # grads: tie-free random input -> elementwise equality with reduce_window
+    g_ours = np.asarray(jax.grad(lambda y: jnp.sum(max_pool2d(y, k, s, p) ** 2))(jnp.asarray(x)))
+    g_ref = np.asarray(jax.grad(lambda y: jnp.sum(ref_pool(y) ** 2))(jnp.asarray(x)))
+    np.testing.assert_allclose(g_ours, g_ref, rtol=1e-5, atol=1e-6)
+
+    # tied (constant) input: per-element routing differs by design
+    # (jnp.maximum splits subgradients) but total gradient mass is preserved
+    xc = jnp.ones_like(jnp.asarray(x))
+    gm_ours = float(jnp.sum(jax.grad(lambda y: jnp.sum(max_pool2d(y, k, s, p)))(xc)))
+    gm_ref = float(jnp.sum(jax.grad(lambda y: jnp.sum(ref_pool(y)))(xc)))
+    assert abs(gm_ours - gm_ref) < 1e-3
+
+
+def test_max_pool2d_int_dtype_forward():
+    """Int input pads with iinfo.min instead of -inf (forward-only path)."""
+    from yolov3_tpu.nn.modules import max_pool2d
+
+    x = np.random.default_rng(7).integers(-50, 50, size=(1, 8, 8, 3), dtype=np.int32)
+    ref = jax.lax.reduce_window(
+        jnp.asarray(x), jnp.iinfo(jnp.int32).min, jax.lax.max,
+        (1, 3, 3, 1), (1, 1, 1, 1), [(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
+    np.testing.assert_array_equal(np.asarray(max_pool2d(jnp.asarray(x), 3, 1, 1)), np.asarray(ref))

@@ -476,6 +476,38 @@ class DataLoader:
         resampling, reference train.py:360-363)."""
         self._indices_override = np.asarray(indices)
 
+    def set_multi_scale(self, sizes, seed=0, period=10):
+        """Per-batch multi-scale resize done INSIDE the loader workers.
+
+        The reference resizes on the hot loop (train.py:394-399); doing it
+        here overlaps the cv2 resizes with device compute via the prefetch
+        queue and needs no device fetch to pick the size. A new size is drawn
+        from `sizes` every `period` batches; the trainer sets `ms_offset` to
+        the epoch's first global step (a host-side counter) so draws are
+        deterministic across resume. Labels are normalized xywhn — a square
+        resize leaves them unchanged."""
+        self._ms_sizes = [int(s) for s in sizes]
+        self._ms_seed = int(seed)
+        self._ms_period = max(int(period), 1)
+        self.ms_offset = 0
+
+    def _ms_for(self, nb):
+        sizes = getattr(self, "_ms_sizes", None)
+        if not sizes:
+            return None
+        step = int(getattr(self, "ms_offset", 0)) + nb
+        g = np.random.default_rng(self._ms_seed + step - step % self._ms_period)
+        return int(g.choice(sizes))
+
+    def _get_sample(self, i, ms):
+        sample = self.dataset[i]
+        if ms is None or (sample[0].shape[0] == ms and sample[0].shape[1] == ms):
+            return sample
+        import cv2
+
+        img = cv2.resize(sample[0], (ms, ms), interpolation=cv2.INTER_LINEAR)
+        return (img, *sample[1:])
+
     def shard_per_host(self):
         """Restrict sampling to this host's shard — the DistributedSampler
         analog for multi-host SPMD (reference dataloaders.py:115). Sharding is
@@ -544,8 +576,9 @@ class DataLoader:
 
                     with ThreadPoolExecutor(self.workers) as pool:
                         pending = []
-                        for batch_idx in self._batches():
-                            pending.append([pool.submit(self.dataset.__getitem__, i) for i in batch_idx])
+                        for nb, batch_idx in enumerate(self._batches()):
+                            ms = self._ms_for(nb)
+                            pending.append([pool.submit(self._get_sample, i, ms) for i in batch_idx])
                             # keep `prefetch` batches in flight beyond the queue
                             while len(pending) > self.prefetch:
                                 futs = pending.pop(0)
@@ -553,8 +586,9 @@ class DataLoader:
                         for futs in pending:
                             q.put(collate([f.result() for f in futs], self.max_labels))
                 else:
-                    for batch_idx in self._batches():
-                        samples = [self.dataset[i] for i in batch_idx]
+                    for nb, batch_idx in enumerate(self._batches()):
+                        ms = self._ms_for(nb)
+                        samples = [self._get_sample(i, ms) for i in batch_idx]
                         q.put(collate(samples, self.max_labels))
             except BaseException as e:  # noqa: BLE001 — forward to the consumer:
                 # a dead producer must fail the epoch loudly, not truncate it

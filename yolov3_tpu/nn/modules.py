@@ -55,7 +55,13 @@ def max_pool2d(x, k, s, p=0):
     axis folded with elementwise `maximum`, whose autodiff is plain
     slice/select — exact under any sharding — and which fuses into adjacent
     elementwise work instead of emitting a windowed op. Forward values are
-    bit-identical to reduce_window (same maxima)."""
+    bit-identical to reduce_window (same maxima).
+
+    Gradient tie handling differs from torch/reduce_window: `jnp.maximum`
+    splits the subgradient evenly among tied positions instead of routing the
+    whole gradient to one winner. Total gradient mass is preserved, but
+    per-element grads differ on plateaued activations (frequent in cascaded
+    SPPF pools) — expected when parity-debugging gradients against torch."""
 
     def pool_axis(y, axis):
         if p:

@@ -178,6 +178,16 @@ def train(
     if jax.process_count() > 1:
         train_loader.shard_per_host()
     steps_per_epoch = max(len(train_loader), 1)
+    if multi_scale:
+        # bucketed multi-scale (reference train.py:394-399 draws any stride
+        # multiple in [0.5, 1.5]*imgsz — ~20 shapes = ~20 XLA recompiles at
+        # minutes each through a remote-compile runtime). Here: 5 FIXED
+        # buckets spanning the same range (at most 5 compiled programs), and
+        # the resize runs inside the loader workers, overlapped with device
+        # compute — the hot loop never touches cv2 or fetches the step count
+        gs = int(stride)
+        buckets = sorted({max(round(imgsz * f / gs), 1) * gs for f in (0.5, 0.75, 1.0, 1.25, 1.5)})
+        train_loader.set_multi_scale(buckets, seed=seed)
 
     val_loader = None
     if not noval and jax.process_index() == 0:
@@ -284,23 +294,11 @@ def train(
         nb = 0
         epoch_metrics = []
         t_epoch = time.time()
+        # anchor this epoch's multi-scale draws to its first global step —
+        # a host-side counter, deterministic across resume, no device fetch
+        train_loader.ms_offset = epoch * steps_per_epoch
         for imgs, targets, mask, _ in train_loader:
             callbacks.run("on_train_batch_start")
-            if multi_scale and nb % 10 == 0:
-                # bucketed multi-scale (reference train.py:394-399 draws any
-                # stride multiple in [0.5, 1.5]*imgsz — ~20 shapes = ~20 XLA
-                # recompiles at minutes each through a remote-compile runtime).
-                # Here: 5 FIXED buckets spanning the same range, so at most 5
-                # compiled programs per run.
-                gs = int(stride)
-                buckets = sorted({max(round(imgsz * f / gs), 1) * gs for f in (0.5, 0.75, 1.0, 1.25, 1.5)})
-                rng_ms = np.random.default_rng(seed + int(state["step"]))
-                setattr(train_loader, "_ms_size", int(rng_ms.choice(buckets)))
-            ms = getattr(train_loader, "_ms_size", None)
-            if multi_scale and ms and ms != imgs.shape[1]:
-                import cv2
-
-                imgs = np.stack([cv2.resize(im, (ms, ms), interpolation=cv2.INTER_LINEAR) for im in imgs])
             batch = shard_batch(mesh, (imgs, targets, mask))
             state, metrics = step_fn(state, *batch)
             # keep metrics as device arrays — float() here would block the
