@@ -99,13 +99,22 @@ def test_remat_step_matches_plain(setup):
         model.variables["params"]
     )
 
+    # selective policy: remat only the front (layers < 3), save the rest —
+    # must be the same math as full-body remat and the plain step
+    step_s = make_train_step(model.module, loss_cfg, tx, remat=True, remat_until=3)
+    state_s = jax.tree.map(jnp.array, init_train_state(model, tx))
+
     state, metrics = step(state, imgs, targets, mask)
     state_r, metrics_r = step_r(state_r, imgs, targets, mask)
+    state_s, metrics_s = step_s(state_s, imgs, targets, mask)
     assert np.allclose(float(metrics["loss"]), float(metrics_r["loss"]), rtol=1e-6)
+    assert np.allclose(float(metrics["loss"]), float(metrics_s["loss"]), rtol=1e-6)
     flat = jax.tree.leaves(state["params"])
     flat_r = jax.tree.leaves(state_r["params"])
-    for a, b in zip(flat, flat_r):
+    flat_s = jax.tree.leaves(state_s["params"])
+    for a, b, c in zip(flat, flat_r, flat_s):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-5, atol=1e-6)
 
 
 def test_warmup_schedules():

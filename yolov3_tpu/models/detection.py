@@ -48,6 +48,15 @@ class YOLOGraph(nn.Module):
     head_raw: bool = False  # Detect returns raw NHWC conv outputs (serving fast path)
     remat: bool = False  # segmented jax.checkpoint: backward recomputes one segment at a time
     remat_segment: int = 6  # layers per checkpoint segment (saved state = segment boundaries)
+    remat_until: int = -1  # only remat layers with index < this; -1 = whole body.
+    # Selective policy (r4 differential attribution, scripts/train_attr_diff.py):
+    # full-body remat makes the backward 3x the forward (2x FLOP-true grad +
+    # 1x full recompute). Activation bytes HALVE per stride stage while conv
+    # FLOPs concentrate in the deep stages (l6/l8/l10 are ~55% of darknet-53's
+    # FLOPs but only ~12 MB/img of bf16 activations vs ~45 MB/img for l0..l5),
+    # so saving the deep activations buys back most of the recompute for a
+    # fraction of the memory. remat_until=7 keeps bs128@640 in HBM while
+    # recomputing only the cheap-to-recompute, expensive-to-store front.
     s2d_stem: bool = False  # space-to-depth stem: never materialize the 32-ch full-res activation
 
     def _s2d_modes(self):
@@ -146,8 +155,10 @@ class YOLOGraph(nn.Module):
             # `train` and the segment's layer list stay python-static via
             # closure, keeping BN's train/eval branch out of the trace.
             n = max(int(self.remat_segment), 1)
-            for s in range(0, len(body), n):
-                seg = body[s : s + n]
+            cut = len(body) if self.remat_until < 0 else min(self.remat_until, len(body))
+            front, rest = body[:cut], body[cut:]
+            for s in range(0, len(front), n):
+                seg = front[s : s + n]
                 seg_prev = prev_i
 
                 def seg_fn(mdl, out, y, _seg=seg, _prev=seg_prev):
@@ -156,6 +167,8 @@ class YOLOGraph(nn.Module):
 
                 out, y = nn.remat(seg_fn, prevent_cse=False)(self, out, y)
                 prev_i = seg[-1].i
+            if rest:  # deep layers run plain: activations saved, no recompute
+                out, y, prev_i = self._run_layers(rest, out, y, prev_i, train)
 
         feats = [out if j == prev_i else y[j] for j in detect.f]
         return Detect(

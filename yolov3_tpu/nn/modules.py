@@ -33,6 +33,61 @@ from yolov3_tpu.nn.activations import get_activation
 conv_kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
 
 
+class TorchBatchNorm(nn.BatchNorm):
+    """flax BatchNorm with torch's *unbiased* running variance.
+
+    torch BatchNorm2d normalizes with the biased batch variance but stores the
+    Bessel-corrected (n/(n-1)) variance in running_var; flax stores the biased
+    one. The gap is invisible at production shapes (n = B*H*W, correction
+    <1e-4) but shows up on small grids (deep layers of small test images) and
+    would make N-step training-trajectory parity vs the reference
+    (reference train.py:377-435) drift in batch_stats. Normalization numerics
+    are flax's own (_compute_stats/_normalize) — only the stored var changes.
+    """
+
+    @nn.compact
+    def __call__(self, x, use_running_average=None, *, mask=None):
+        from flax.linen import normalization as _fn
+
+        use_running_average = nn.merge_param(
+            "use_running_average", self.use_running_average, use_running_average
+        )
+        feature_axes = _fn._canonicalize_axes(x.ndim, self.axis)
+        reduction_axes = tuple(i for i in range(x.ndim) if i not in feature_axes)
+        feature_shape = [x.shape[ax] for ax in feature_axes]
+
+        ra_mean = self.variable("batch_stats", "mean", lambda s: jnp.zeros(s, jnp.float32), feature_shape)
+        ra_var = self.variable("batch_stats", "var", lambda s: jnp.ones(s, jnp.float32), feature_shape)
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            mean, var = _fn._compute_stats(
+                x,
+                reduction_axes,
+                dtype=self.dtype,
+                axis_name=self.axis_name if not self.is_initializing() else None,
+                axis_index_groups=self.axis_index_groups,
+                use_fast_variance=self.use_fast_variance,
+                mask=mask,
+                force_float32_reductions=self.force_float32_reductions,
+            )
+            if not self.is_initializing():
+                n = 1.0
+                for i in reduction_axes:
+                    n *= x.shape[i]
+                bessel = n / max(n - 1.0, 1.0)
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * (var * bessel)
+
+        return _fn._normalize(
+            self, x, mean, var, reduction_axes, feature_axes,
+            self.dtype, self.param_dtype, self.epsilon,
+            self.use_bias, self.use_scale, self.bias_init, self.scale_init,
+            self.force_float32_reductions,
+        )
+
+
 def autopad(k, p=None, d=1):
     """Same-shape padding for a given kernel/dilation (reference common.py:48-54)."""
     if d > 1:
@@ -101,7 +156,8 @@ class _GroupedBatchNorm(nn.Module):
     whose channels are 4 offset blocks of C: batch statistics reduce over
     (batch, space, offset) — exactly the population the plain-layout BN sees —
     so the transformed stem's training dynamics match the untransformed one.
-    Mirrors flax BatchNorm numerics (eps 1e-3, momentum 0.97, biased var)."""
+    Numerics match TorchBatchNorm (eps 1e-3, momentum 0.97, biased var for
+    normalization, Bessel-corrected var in the running average)."""
 
     channels: int
     dtype: Any = jnp.float32
@@ -121,8 +177,9 @@ class _GroupedBatchNorm(nn.Module):
             mean = jnp.mean(xf, axis=(0, 1, 2, 3))
             var = jnp.mean(jnp.square(xf), axis=(0, 1, 2, 3)) - jnp.square(mean)
             if not self.is_initializing():
+                n = float(b_ * h_ * w_ * (ch // c))
                 ra_mean.value = 0.97 * ra_mean.value + 0.03 * mean
-                ra_var.value = 0.97 * ra_var.value + 0.03 * var
+                ra_var.value = 0.97 * ra_var.value + 0.03 * (var * (n / max(n - 1.0, 1.0)))
         else:
             mean, var = ra_mean.value, ra_var.value
         mul = (scale * jax.lax.rsqrt(var + 1e-3)).astype(self.dtype)
@@ -212,7 +269,7 @@ class Conv(nn.Module):
             name="conv",
         )(x)
         if not self.fused:
-            x = nn.BatchNorm(
+            x = TorchBatchNorm(
                 use_running_average=not train, momentum=0.97, epsilon=1e-3, dtype=self.dtype, name="bn"
             )(x)
         return get_activation(self.act)(x)
@@ -336,7 +393,7 @@ class Conv(nn.Module):
         if self.fused:
             y = y + bias.astype(self.dtype)
         else:
-            y = nn.BatchNorm(
+            y = TorchBatchNorm(
                 use_running_average=not train, momentum=0.97, epsilon=1e-3, dtype=self.dtype, name="bn"
             )(y)
         return get_activation(self.act)(y)
@@ -439,7 +496,7 @@ class BottleneckCSP(nn.Module):
         y1 = nn.Conv(c_, (1, 1), use_bias=False, kernel_init=conv_kernel_init, dtype=self.dtype, name="cv3")(y1)
         y2 = nn.Conv(c_, (1, 1), use_bias=False, kernel_init=conv_kernel_init, dtype=self.dtype, name="cv2")(x)
         y = jnp.concatenate([y1, y2], axis=-1)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3, name="bn")(y)
+        y = TorchBatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3, name="bn")(y)
         y = get_activation("silu")(y)
         return Conv(self.c2, 1, 1, dtype=self.dtype, fused=self.fused, name="cv4")(y, train)
 
@@ -815,7 +872,7 @@ class MixConv2d(nn.Module):
             for i, (c, k) in enumerate(zip(splits, self.k))
         ]
         y = jnp.concatenate(outs, axis=-1)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3, name="bn")(y)
+        y = TorchBatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3, name="bn")(y)
         return get_activation("silu")(y)
 
 

@@ -12,8 +12,9 @@ Semantics parity notes:
    conditions (loss.py:221-227)
  - objectness targets are the detached, clamped CIoU of matched predictions
    (loss.py:155-161); where several matches land in one cell the reference
-   keeps the last write — we keep the max, which is deterministic under XLA
-   scatter and a strictly-better training signal.
+   keeps the last write — reproduced exactly (and deterministically) via a
+   position-priority scatter (see compute_loss), pinned by the multi-step
+   trajectory parity test.
  - per-scale balance [4.0, 1.0, 0.4] (3 scales) / P3-P7 table (loss.py:122)
  - class BCE with label smoothing cp/cn (loss.py:114, 164-167), optional focal
    loss (loss.py:31-63,117-119)
@@ -238,9 +239,27 @@ def compute_loss(feats, targets, mask, cfg: LossConfig, balance=None, return_per
         iou = bbox_iou(pbox, tbox, xywh=True, CIoU=True)
         lbox = lbox + ((1.0 - iou) * m).sum() / n_match
 
-        # objectness targets: scatter detached clamped IoU (loss.py:155-161)
+        # objectness targets: scatter detached clamped IoU (loss.py:155-161).
+        # Where several candidates land in one cell the reference's sequential
+        # write keeps the LAST one; its candidate order is offset-major, then
+        # anchor, then target (loss.py:212-232 t.repeat((5,1,1))[j]) — exactly
+        # this tensor's flattened (5, na, N) order, so "last write" == highest
+        # flat position. A scatter-max of positions picks the winner, a second
+        # scatter places its IoU: deterministic, order-exact, two cheap
+        # scatters instead of one nondeterministic duplicate-index write.
         iou_d = jnp.clip(jax.lax.stop_gradient(iou), 0.0, None) * m
-        tobj = jnp.zeros((bs * na * ny * nx,), jnp.float32).at[flat_idx].max(iou_d)
+        pos = jnp.arange(m.shape[0], dtype=jnp.int32)
+        winner = (
+            jnp.full((bs * na * ny * nx,), -1, jnp.int32)
+            .at[flat_idx]
+            .max(jnp.where(m > 0, pos, -1))
+        )
+        is_last = (pos == winner[flat_idx]) & (m > 0)
+        tobj = (
+            jnp.zeros((bs * na * ny * nx,), jnp.float32)
+            .at[flat_idx]
+            .max(jnp.where(is_last, iou_d, 0.0))
+        )
         obj_logits = pi[..., 4].reshape(-1).astype(jnp.float32)
         obj_loss = bce_with_logits(obj_logits, tobj, cfg.obj_pw)
         if cfg.fl_gamma > 0:

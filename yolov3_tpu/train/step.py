@@ -42,7 +42,7 @@ def normalize_images(imgs, dtype=jnp.float32):
 
 
 def make_train_step(module, loss_cfg: LossConfig, tx, mesh=None, ema_decay=0.9999, loss_scale=1.0,
-                    remat=False, remat_segment=None):
+                    remat=False, remat_segment=None, remat_until=None):
     """Build the jitted train step.
 
     State pytree: {params, batch_stats, opt, ema:{ema, updates}, step}.
@@ -65,6 +65,11 @@ def make_train_step(module, loss_cfg: LossConfig, tx, mesh=None, ema_decay=0.999
             # costs a full feature map — dominant at high resolution) at the
             # price of a larger per-segment recompute window
             kw["remat_segment"] = int(remat_segment)
+        if remat_until is not None:
+            # selective policy: remat only layers < remat_until; deep layers
+            # save their (exponentially cheaper) activations and skip the
+            # recompute — see YOLOGraph.remat_until
+            kw["remat_until"] = int(remat_until)
         module = module.clone(**kw)
 
     def apply_fn(params, batch_stats, x):
