@@ -193,9 +193,11 @@ def test_merge_nms_reference_semantics():
     np.testing.assert_allclose(np.asarray(out1[0, 0, :4]), [40, 40, 60, 60], atol=1e-4)
 
 
-def test_pallas_large_k_falls_back():
-    """batched_nms(use_pallas=True) with VMEM-exceeding candidate counts must
-    not crash: it runs the exact XLA loop instead (guard in ops/nms.py)."""
+def test_pallas_large_k_grids_over_batch():
+    """batched_nms(use_pallas) with candidate counts exceeding the
+    whole-batch-resident VMEM budget routes to the batch-GRIDDED kernel (one
+    program per image, ops/nms_pallas.py grid_batch) and stays row-exact with
+    the XLA loop. Run in interpret mode — the routing math is identical."""
     rng = np.random.default_rng(0)
     n = 25200
     x = np.zeros((16, n, 7), np.float32)  # 16*25200 candidates ~= 17 MB of VMEM planes
@@ -203,7 +205,7 @@ def test_pallas_large_k_falls_back():
     x[..., 2:4] = rng.uniform(8, 60, (16, n, 2))
     x[..., 4] = rng.uniform(0, 1, (16, n))
     x[..., 5:] = rng.uniform(0, 1, (16, n, 2))
-    out_p, n_p = batched_nms(x, conf_thres=0.6, iou_thres=0.45, use_pallas=True)
+    out_p, n_p = batched_nms(x, conf_thres=0.6, iou_thres=0.45, use_pallas="interpret")
     out_x, n_x = batched_nms(x, conf_thres=0.6, iou_thres=0.45, use_pallas=False)
     np.testing.assert_array_equal(np.asarray(n_p), np.asarray(n_x))
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x), atol=1e-5)

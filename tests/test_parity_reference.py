@@ -420,6 +420,20 @@ def test_flagship_640_val_grade_parity(ref_flagship, our_flagship):
                           multi_label=True, max_det=300)[0].numpy()
         our_val = our_nms(our_pred, 0.001, 0.6, multi_label=True, max_det=300,
                           max_nms=30000)[0]
+        if seed == 0:
+            # the TPU validator's Pallas kernel (gridded over images at these
+            # exact val-grade settings, eval/validator.py) must be row-exact
+            # with the host NMS on the flagship fixture
+            from yolov3_tpu.ops.nms import batched_nms
+
+            out_p, n_p = batched_nms(
+                jnp.asarray(our_pred), conf_thres=0.001, iou_thres=0.6,
+                multi_label=True, max_det=300, max_nms=30000, use_pallas="interpret",
+            )
+            pallas_val = np.asarray(out_p[0][: int(n_p[0])])
+            assert len(pallas_val) == len(our_val), "Pallas val-grade NMS row count mismatch"
+            np.testing.assert_allclose(pallas_val, np.asarray(our_val), rtol=1e-5, atol=1e-4)
+
         # cross-framework float drift (~1e-3 in conf) legitimately flips rows
         # that straddle conf 0.001; rows above 0.01 must agree exactly
         r_hi, o_hi = ref_val[ref_val[:, 4] > 0.01], our_val[our_val[:, 4] > 0.01]

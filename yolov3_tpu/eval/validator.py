@@ -407,6 +407,14 @@ def _cached_forward(model, conf_thres, iou_thres, max_det, max_nms, loss_cfg=Non
             loss_kw = {"in_shardings": (rep, data, data, data),
                        "out_shardings": (data, data, rep)}
 
+        # Val-grade NMS runs the Pallas kernel on TPU (gridded over images at
+        # max_nms=30000 — see ops/nms_pallas.py grid_batch); row-exactness vs
+        # the XLA loop at these settings is pinned by
+        # tests/test_nms_pallas.py::test_grid_batch_val_grade_matches_xla.
+        # Pallas neither lowers on CPU nor partitions under GSPMD (sharded
+        # val) — those paths keep the XLA loop.
+        use_pallas = jax.default_backend() == "tpu" and mesh is None
+
         @functools.partial(jax.jit, **fwd_kw)
         def forward(variables, imgs_u8):
             x = imgs_u8.astype(jax.numpy.float32) / 255.0
@@ -414,6 +422,7 @@ def _cached_forward(model, conf_thres, iou_thres, max_det, max_nms, loss_cfg=Non
             dets, n_valid = batched_nms(
                 pred, conf_thres=conf_thres, iou_thres=iou_thres,
                 multi_label=True, max_det=max_det, max_nms=max_nms,
+                use_pallas=use_pallas,
             )
             return dets, n_valid
 
@@ -430,6 +439,7 @@ def _cached_forward(model, conf_thres, iou_thres, max_det, max_nms, loss_cfg=Non
             dets, n_valid = batched_nms(
                 pred, conf_thres=conf_thres, iou_thres=iou_thres,
                 multi_label=True, max_det=max_det, max_nms=max_nms,
+                use_pallas=use_pallas,
             )
             _, comps = compute_loss(list(feats), targets, tmask, loss_cfg)
             return dets, n_valid, comps

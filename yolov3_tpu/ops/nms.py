@@ -147,16 +147,23 @@ def batched_nms(
 
     boxes_off_b, boxes_b, scores_b, cls_b = jax.vmap(prep)(prediction)
 
-    # the Pallas kernel keeps all (B, K) operands VMEM-resident (~16 MB/core
-    # budget, ~11 f32 planes of B*K) — when the batch/candidate product would
-    # blow VMEM, run the exact XLA loop instead of failing the Mosaic compile
+    # the whole-batch-resident Pallas kernel keeps all (B, K) operands in VMEM
+    # (~16 MB/core budget, ~11 f32 planes of B*K); past that the kernel grids
+    # over images instead (per-image planes: K*44 bytes — 1.3 MB at the
+    # val-grade max_nms=30000), so the val regime runs in Pallas too. Only a
+    # K too large for a single image's planes (>~250k candidates) falls back
+    # to the XLA loop.
     k_cand = min(max_nms, n * nc if (multi_label and nc > 1) else n)
-    if use_pallas and bs * k_cand * 44 > 12 * 2**20:
+    grid_batch = bs * k_cand * 44 > 12 * 2**20
+    if use_pallas and k_cand * 44 > 11 * 2**20:
         use_pallas = False
     if use_pallas:
         from yolov3_tpu.ops.nms_pallas import pallas_greedy_nms
 
-        out_b, n_valid_b = pallas_greedy_nms(boxes_off_b, boxes_b, scores_b, cls_b, iou_thres, max_det)
+        # use_pallas="interpret" runs the kernel in Pallas interpret mode —
+        # lets CPU tests exercise the full prep+kernel path end-to-end
+        out_b, n_valid_b = pallas_greedy_nms(boxes_off_b, boxes_b, scores_b, cls_b, iou_thres, max_det,
+                                             grid_batch=grid_batch, interpret=use_pallas == "interpret")
     else:
         out_b, n_valid_b = jax.vmap(lambda bo, bx, s, c: _greedy_nms(bo, bx, s, c, iou_thres, max_det))(
             boxes_off_b, boxes_b, scores_b, cls_b

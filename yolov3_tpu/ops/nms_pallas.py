@@ -89,8 +89,9 @@ def _nms_kernel(boxes_off_ref, boxes_ref, scores_ref, cls_ref, out_ref, scores_s
     )
 
 
-@functools.partial(jax.jit, static_argnames=("iou_thres", "max_det", "interpret"))
-def pallas_greedy_nms(boxes_off, boxes, scores, cls_ids, iou_thres=0.45, max_det=300, interpret=False):
+@functools.partial(jax.jit, static_argnames=("iou_thres", "max_det", "interpret", "grid_batch"))
+def pallas_greedy_nms(boxes_off, boxes, scores, cls_ids, iou_thres=0.45, max_det=300, interpret=False,
+                      grid_batch=False):
     """Greedy NMS over prefiltered candidates.
 
     Args:
@@ -98,6 +99,13 @@ def pallas_greedy_nms(boxes_off, boxes, scores, cls_ids, iou_thres=0.45, max_det
         boxes: (B, K, 4) original xyxy boxes (written to the output).
         scores: (B, K) candidate scores, invalid slots < 0.
         cls_ids: (B, K) class ids as floats.
+        grid_batch: run one Pallas program per IMAGE (grid over B) instead of
+            keeping the whole (B, K) batch VMEM-resident. This is the
+            val-grade regime (conf 0.001 / max_nms 30000, reference
+            val.py:196-199): per-image operands are ~11 planes x K x 4B
+            (1.3 MB at K=30000) regardless of batch size, and each image's
+            greedy loop early-exits independently instead of waiting for the
+            batch straggler.
 
     Returns:
         out: (B, max_det, 6) [x1,y1,x2,y2,conf,cls] in descending score order.
@@ -106,14 +114,32 @@ def pallas_greedy_nms(boxes_off, boxes, scores, cls_ids, iou_thres=0.45, max_det
     B, K, _ = boxes.shape
     bo = jnp.transpose(boxes_off.astype(jnp.float32), (2, 0, 1))  # (4, B, K)
     bx = jnp.transpose(boxes.astype(jnp.float32), (2, 0, 1))
-    out = pl.pallas_call(
-        functools.partial(_nms_kernel, iou_thres=float(iou_thres), max_det=int(max_det)),
-        out_shape=jax.ShapeDtypeStruct((6, B, max_det), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((B, K), jnp.float32)],
-        interpret=interpret,
-    )(bo, bx, scores.astype(jnp.float32), cls_ids.astype(jnp.float32))
+    kernel = functools.partial(_nms_kernel, iou_thres=float(iou_thres), max_det=int(max_det))
+    if grid_batch:
+        # same kernel body on (·, 1, K) blocks: grid over images
+        out = pl.pallas_call(
+            kernel,
+            grid=(B,),
+            out_shape=jax.ShapeDtypeStruct((6, B, max_det), jnp.float32),
+            in_specs=[
+                pl.BlockSpec((4, 1, K), lambda b: (0, b, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, 1, K), lambda b: (0, b, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K), lambda b: (b, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((6, 1, max_det), lambda b: (0, b, 0), memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((1, K), jnp.float32)],
+            interpret=interpret,
+        )(bo, bx, scores.astype(jnp.float32), cls_ids.astype(jnp.float32))
+    else:
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((6, B, max_det), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((B, K), jnp.float32)],
+            interpret=interpret,
+        )(bo, bx, scores.astype(jnp.float32), cls_ids.astype(jnp.float32))
     out = jnp.transpose(out, (1, 2, 0))  # (B, max_det, 6)
     n_valid = jnp.sum(out[:, :, 4] > 0, axis=1).astype(jnp.int32)
     return out, n_valid
