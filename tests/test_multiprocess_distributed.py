@@ -56,7 +56,7 @@ class _FakeDS:
 
 loader = DataLoader(_FakeDS(), batch_size=16, shuffle=False).shard_per_host()
 starts = [int(b[0]) for b in loader._batches()]
-print("BATCHSTARTS", jax.process_index(), *starts)
+results = {{"BATCHSTARTS": [float(v) for v in starts]}}
 
 # identical global batch on both hosts; each host feeds only its local rows
 rng = np.random.default_rng(0)
@@ -83,21 +83,24 @@ step_fn = make_train_step(model.module, loss_cfg, tx, mesh=mesh)
 state = replicate(mesh, init_train_state(model, tx))
 batch = shard_batch(mesh, local)
 state, metrics = step_fn(state, *batch)
-print("METRICS", jax.process_index(),
-      float(metrics["loss"]), float(metrics["lbox"]),
-      float(metrics["lobj"]), float(metrics["lcls"]))
+results["METRICS"] = [float(metrics["loss"]), float(metrics["lbox"]),
+                      float(metrics["lobj"]), float(metrics["lcls"])]
 # a second step proves the coordination service survives steady-state stepping
 state, metrics2 = step_fn(state, *batch)
-print("METRICS2", jax.process_index(), float(metrics2["loss"]))
+results["METRICS2"] = [float(metrics2["loss"])]
 # the in-train val path materializes host-local EMA copies from the global
 # replicated arrays (train/loop.py multi-host branch) — must work per process
 ema_host = jax.tree.map(np.asarray, dict(state["ema"]["ema"]))
 leaf = jax.tree.leaves(ema_host)[0]
-print("EMAHOST", jax.process_index(), float(np.abs(leaf).sum()))
+results["EMAHOST"] = [float(np.abs(leaf).sum())]
 # the early-stop fitness broadcast (train/loop.py): every host gets p0's value
 from jax.experimental import multihost_utils
 fi = np.float32(0.75 if jax.process_index() == 0 else 0.0)
-print("FITBCAST", jax.process_index(), float(multihost_utils.broadcast_one_to_all(fi)))
+results["FITBCAST"] = [float(multihost_utils.broadcast_one_to_all(fi))]
+# results go to a per-process FILE: gloo's C++ logger interleaves into stdout
+# mid-line and corrupts marker parsing
+import json
+open({resfile!r}.format(pid=jax.process_index()), "w").write(json.dumps(results))
 """
 
 
@@ -107,12 +110,13 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def _launch_pair():
+def _launch_pair(resdir):
     """Run the two coordinated workers once; returns (ok, outs, errs)."""
     port = _free_port()
+    resfile = str(resdir / "res_{pid}.json")
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", WORKER.format(repo=str(REPO), port=port, pid=pid)],
+            [sys.executable, "-c", WORKER.format(repo=str(REPO), port=port, pid=pid, resfile=resfile)],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         )
         for pid in range(2)
@@ -134,8 +138,8 @@ def _launch_pair():
 
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices for the oracle")
-def test_two_process_global_step_matches_single_process():
-    ok, outs, errs = _launch_pair()
+def test_two_process_global_step_matches_single_process(tmp_path):
+    ok, outs, errs = _launch_pair(tmp_path)
     if not ok:
         # coordination-service flakes (barrier/heartbeat deadlines) happen when
         # 2x4 virtual devices + the 8-device pytest process share one loaded
@@ -144,24 +148,24 @@ def test_two_process_global_step_matches_single_process():
         flaky = any(k in blob for k in
                     ("deadline", "rendezvous", "heartbeat", "barrier", "unavailable", "timed out"))
         assert flaky, "\n".join(e[-2000:] for e in errs)
-        ok, outs, errs = _launch_pair()
+        ok, outs, errs = _launch_pair(tmp_path)
         assert ok, "\n".join(e[-4000:] for e in errs)
 
-    def parse(tag, out):
-        for line in out.splitlines():
-            if line.startswith(tag + " "):
-                parts = line.split()
-                return int(parts[1]), [float(v) for v in parts[2:]]
-        raise AssertionError(f"{tag} not found in: {out[-1000:]}")
+    import json
+
+    res = {pid: json.loads((tmp_path / f"res_{pid}.json").read_text()) for pid in range(2)}
+
+    def parse(tag, _unused=None):
+        return {pid: res[pid][tag] for pid in res}
 
     # loader shard: round-robin-disjoint, together covering all 4 batches
-    shards = dict(parse("BATCHSTARTS", o) for o in outs)
+    shards = parse("BATCHSTARTS")
     assert shards[0] == [0.0, 32.0] and shards[1] == [16.0, 48.0], shards
 
     # both processes report the identical global metrics
-    m = dict(parse("METRICS", o) for o in outs)
+    m = parse("METRICS")
     np.testing.assert_allclose(m[0], m[1], rtol=1e-6)
-    m2 = dict(parse("METRICS2", o) for o in outs)
+    m2 = parse("METRICS2")
     np.testing.assert_allclose(m2[0], m2[1], rtol=1e-6)
 
     # ...and they equal the single-process 8-device oracle on the same batch
@@ -175,10 +179,10 @@ def test_two_process_global_step_matches_single_process():
 
     # host-local EMA materialization (in-train val path) works on BOTH hosts
     # and reads identical replicas
-    eh = dict(parse("EMAHOST", o) for o in outs)
+    eh = parse("EMAHOST")
     assert eh[0] == pytest.approx(eh[1], rel=1e-6) and eh[0][0] > 0
     # the early-stop fitness broadcast delivers process 0's value everywhere
-    fb = dict(parse("FITBCAST", o) for o in outs)
+    fb = parse("FITBCAST")
     assert fb[0] == [0.75] and fb[1] == [0.75]
 
 
@@ -233,7 +237,7 @@ state = replicate(mesh, init_train_state(model, tx))
 batch = shard_batch(mesh, local)
 state, m1 = step_fn(state, *batch)
 state, m2 = step_fn(state, *batch)
-print("METRICS", jax.process_index(), float(m1["loss"]), float(m2["loss"]))
+results = {{"METRICS": [float(m1["loss"]), float(m2["loss"])]}}
 
 # checkpoint on process 0 only (replicated arrays are host-addressable
 # everywhere; train/loop.py:359-366 semantics), barrier, resume on ALL hosts
@@ -249,7 +253,9 @@ loaded, meta = load_checkpoint({tmp!r}, target=target)
 resumed = replicate(mesh, loaded)
 _, m3r = step_fn(resumed, *batch)
 state, m3c = step_fn(state, *batch)
-print("METRICS3", jax.process_index(), float(m3r["loss"]), float(m3c["loss"]))
+results["METRICS3"] = [float(m3r["loss"]), float(m3c["loss"])]
+import json
+open({resfile!r}.format(pid=jax.process_index()), "w").write(json.dumps(results))
 """
 
 
@@ -258,10 +264,12 @@ print("METRICS3", jax.process_index(), float(m3r["loss"]), float(m3c["loss"]))
 def test_four_process_checkpoint_resume(tmp_path):
     def launch():
         port = _free_port()
+        resfile = str(tmp_path / "res4_{pid}.json")
         procs = [
             subprocess.Popen(
                 [sys.executable, "-c",
-                 WORKER4.format(repo=str(REPO), port=port, pid=pid, tmp=str(tmp_path / "ck"))],
+                 WORKER4.format(repo=str(REPO), port=port, pid=pid, tmp=str(tmp_path / "ck"),
+                                resfile=resfile)],
                 stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             )
             for pid in range(4)
@@ -290,15 +298,11 @@ def test_four_process_checkpoint_resume(tmp_path):
         ok, outs, errs = launch()
         assert ok, "\n".join(e[-4000:] for e in errs)
 
-    def parse(tag, out):
-        for line in out.splitlines():
-            if line.startswith(tag + " "):
-                parts = line.split()
-                return int(parts[1]), [float(v) for v in parts[2:]]
-        raise AssertionError(f"{tag} not found in: {out[-1000:]}")
+    import json
 
-    m = dict(parse("METRICS", o) for o in outs)
-    m3 = dict(parse("METRICS3", o) for o in outs)
+    res = {pid: json.loads((tmp_path / f"res4_{pid}.json").read_text()) for pid in range(4)}
+    m = {pid: res[pid]["METRICS"] for pid in res}
+    m3 = {pid: res[pid]["METRICS3"] for pid in res}
     assert set(m) == set(m3) == {0, 1, 2, 3}
     # all four hosts agree on every step's global metrics
     for pid in (1, 2, 3):

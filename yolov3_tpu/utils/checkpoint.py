@@ -24,10 +24,31 @@ def _to_host(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
+def _checkpointer():
+    """A PROCESS-LOCAL orbax checkpointer.
+
+    Our checkpoints are host-local numpy trees (fully-replicated training
+    state materialized with np.asarray), saved by whichever process calls —
+    the reference's rank-0-save semantics (reference train.py:469-489). A
+    default StandardCheckpointer would run a GLOBAL barrier inside save() /
+    restore() whenever jax.process_count() > 1, so a process-0-only save
+    deadlocks the pod (found by
+    tests/test_multiprocess_distributed.py::test_four_process_checkpoint_resume:
+    'sync_global_devices name mismatch (_Checkpointer:save_start)').
+    Restricting active_processes to the caller keeps orbax's barriers local."""
+    if jax.process_count() > 1:
+        pidx = jax.process_index()
+        opts = ocp.options.MultiprocessingOptions(
+            primary_host=pidx, active_processes={pidx}, barrier_sync_key_prefix=f"proc{pidx}"
+        )
+        return ocp.StandardCheckpointer(multiprocessing_options=opts)
+    return ocp.StandardCheckpointer()
+
+
 def save_checkpoint(path, state, spec=None, meta=None):
     """Save a train-state pytree + model spec + metadata to directory `path`."""
     path = Path(path).resolve()
-    ckpt = ocp.StandardCheckpointer()
+    ckpt = _checkpointer()
     ckpt.save(path / "state", _to_host(state), force=True)
     ckpt.wait_until_finished()
     md = dict(meta or {})
@@ -45,7 +66,7 @@ def save_checkpoint(path, state, spec=None, meta=None):
 def load_checkpoint(path, target=None):
     """Restore (state, meta) from a checkpoint directory."""
     path = Path(path).resolve()
-    ckpt = ocp.StandardCheckpointer()
+    ckpt = _checkpointer()
     state = ckpt.restore(path / "state", target=_to_host(target) if target is not None else None)
     meta = yaml_load(path / "checkpoint.yaml") if (path / "checkpoint.yaml").is_file() else {}
     return state, meta
@@ -57,7 +78,7 @@ def strip_checkpoint(path, out=None):
     ema = state.get("ema", {}).get("ema")
     variables = ema if ema else {"params": state["params"], "batch_stats": state.get("batch_stats", {})}
     out = Path(out or path).resolve()  # orbax requires absolute paths
-    ckpt = ocp.StandardCheckpointer()
+    ckpt = _checkpointer()
     ckpt.save(out / "state", {"params": variables["params"], "batch_stats": variables.get("batch_stats", {})},
               force=True)
     ckpt.wait_until_finished()
