@@ -117,16 +117,16 @@ def test_tflite_int8_ptq(synth_data, tmp_path):
 
 
 def test_benchmarks_table(synth_data, tmp_path, monkeypatch):
-    """benchmarks exercises export -> MultiBackend -> val for >=3 formats."""
+    """benchmarks exercises export -> MultiBackend -> val for >=4 formats."""
     from yolov3_tpu.cli import benchmarks
 
     monkeypatch.chdir(tmp_path)  # exports land under ./runs/export
-    fmts = ("checkpoint", "stablehlo", "savedmodel", "tflite")
+    fmts = ("checkpoint", "stablehlo", "savedmodel", "tflite", "onnx")
     rows = benchmarks.run(
         weights="yolov3-tiny", data=synth_data, imgsz=96, batch_size=4, formats=fmts
     )
     ok = [r for r in rows if r[2] is not None and np.isfinite(r[2])]
-    assert len(ok) >= 3, f"fewer than 3 formats validated: {rows}"
+    assert len(ok) >= 4, f"fewer than 4 formats validated: {rows}"
 
 
 def test_half_checkpoint_roundtrip(tmp_path):

@@ -81,10 +81,12 @@ def test_albumentations_runs_per_train_item(monkeypatch, tmp_path):
 
 # ------------------------------------------------------------- fake tf2onnx
 def test_onnx_export_path_with_stub(monkeypatch, tmp_path):
-    """export_onnx (gated on tf2onnx, dead code in this image until now) runs
-    end-to-end: real jax2tf SavedModel export, then the tf2onnx convert CLI —
-    stubbed as an on-disk package so the subprocess call exercises the real
-    plumbing — and the metadata sidecar lands next to the .onnx."""
+    """export_onnx_tf — the ALTERNATIVE tf2onnx leg (the primary onnx format
+    is the native emitter, models/onnx_native.py, tested for real in
+    test_onnx_native.py) — runs end-to-end: real jax2tf SavedModel export,
+    then the tf2onnx convert CLI stubbed as an on-disk package so the
+    subprocess call exercises the real plumbing — and the metadata sidecar
+    lands next to the .onnx."""
     pytest.importorskip("tensorflow")
 
     pkg = tmp_path / "fakepkgs" / "tf2onnx"
@@ -105,10 +107,12 @@ def test_onnx_export_path_with_stub(monkeypatch, tmp_path):
     monkeypatch.setenv("PYTHONPATH", str(tmp_path / "fakepkgs") + os.pathsep + os.environ.get("PYTHONPATH", ""))
 
     from yolov3_tpu import export as export_mod
+    from yolov3_tpu.models.loading import load_weights
 
-    res = export_mod.run("yolov3-tiny", include=("onnx",), imgsz=96, batch=1,
-                         out_dir=tmp_path / "export")
-    onnx = res.get("onnx")
+    model = load_weights("yolov3-tiny")
+    out_dir = tmp_path / "export"
+    out_dir.mkdir()
+    onnx = export_mod.export_onnx_tf(model, out_dir / model.spec.name, imgsz=96, batch=1)
     assert onnx is not None and Path(onnx).exists()
     assert Path(onnx).read_bytes().startswith(b"ONNXSTUB")
     assert Path(onnx).with_suffix(".meta.json").exists(), (

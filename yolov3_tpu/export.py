@@ -211,8 +211,27 @@ def export_tflite(model, file, imgsz=640, batch=1, include_nms=False, int8=False
 
 
 @try_export
-def export_onnx(model, file, imgsz=640, batch=1, include_nms=False):
-    """ONNX via tf2onnx on the SavedModel (requires tensorflow + tf2onnx)."""
+def export_onnx(model, file, imgsz=640, batch=1, include_nms=False, dynamic=False):
+    """ONNX via the native emitter (models/onnx_native.py): the graph + full
+    Detect decode is encoded straight from the ModelSpec and fused weights —
+    no tensorflow/tf2onnx needed, parity-tested elementwise against the JAX
+    forward (tests/test_onnx_native.py). The reference's ONNX contract
+    (export.py:196-264): input "images" f32 (N,3,H,W), output (N, M, nc+5),
+    optional dynamic batch. NMS stays outside the artifact (like the
+    reference's default onnx leg)."""
+    assert not include_nms, "onnx export emits the decode; NMS runs in the consumer"
+    from yolov3_tpu.models.onnx_native import export_onnx_bytes
+
+    out = Path(file).with_suffix(".onnx")
+    out.write_bytes(export_onnx_bytes(model, imgsz=imgsz, batch=batch, dynamic=dynamic))
+    _write_metadata(out, model, imgsz)
+    return out
+
+
+@try_export
+def export_onnx_tf(model, file, imgsz=640, batch=1, include_nms=False):
+    """Alternative ONNX leg via tf2onnx on the SavedModel (requires
+    tensorflow + tf2onnx; kept for graphs the native emitter doesn't cover)."""
     import tf2onnx  # noqa: F401
 
     sm = export_savedmodel(model, file, imgsz, batch, include_nms)
@@ -250,7 +269,7 @@ def run(weights="yolov3-tiny", include=("checkpoint", "stablehlo"), imgsz=640, b
             "stablehlo": lambda: export_stablehlo(model, base, imgsz, batch, nms, dynamic),
             "savedmodel": lambda: export_savedmodel(model, base, imgsz, batch, nms, dynamic),
             "tflite": lambda: export_tflite(model, base, imgsz, batch, nms, int8, data),
-            "onnx": lambda: export_onnx(model, base, imgsz, batch, nms),
+            "onnx": lambda: export_onnx(model, base, imgsz, batch, nms, dynamic),
         }[fmt]
         results[fmt] = fn()
     return results
