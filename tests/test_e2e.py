@@ -99,6 +99,50 @@ def test_train_val_detect_smoke(synth_dataset, tmp_path):
     assert (Path(out_dir) / "000.jpg").exists()
 
 
+@pytest.mark.slow
+def test_training_learns_to_detect(synth_dataset, tmp_path):
+    """Training moves mAP, not just loss: the rectangles' boxes ARE the labels,
+    so a micro model trained for a few dozen steps must separate from random
+    init by a wide mAP50 margin on the train split. This is the in-suite analog
+    of the reference CI's qualitative train->val gate (SURVEY.md §4) plus the
+    benchmarks.py --hard-fail metric floor (reference benchmarks.py:114-117):
+    it catches optimizer/loss/assignment regressions that keep the loss finite
+    but stop the model from actually learning.
+    """
+    import numpy as np
+
+    from yolov3_tpu.eval import validator
+    from yolov3_tpu.models.detection import DetectionModel
+    from yolov3_tpu.models.loading import load_weights
+    from yolov3_tpu.train.loop import train
+
+    hyp = {
+        "lr0": 0.05, "lrf": 0.2, "momentum": 0.9, "weight_decay": 0.0,
+        "warmup_epochs": 0.0, "box": 0.05, "cls": 0.5, "obj": 1.0, "anchor_t": 4.0,
+        "hsv_h": 0.0, "hsv_s": 0.0, "hsv_v": 0.0, "degrees": 0.0, "translate": 0.0,
+        "scale": 0.0, "shear": 0.0, "perspective": 0.0, "flipud": 0.0, "fliplr": 0.0,
+        "mosaic": 0.0, "mixup": 0.0, "copy_paste": 0.0,
+    }
+    # 300 steps (1 batch/epoch) reaches mAP50 ~0.95+; 400 measured 0.986
+    train(
+        data=synth_dataset, cfg=MICRO_SPEC, hyp=hyp, epochs=300, batch_size=8,
+        imgsz=96, noautoanchor=True, noval=True, max_labels=8,
+        save_dir=tmp_path / "exp",
+    )
+
+    def map50_of(model):
+        results, _, _ = validator.run(
+            synth_dataset, model=model, batch_size=8, imgsz=96, rect=False,
+            conf_thres=0.001, iou_thres=0.6, save_dir=tmp_path, workers=0,
+        )
+        return float(results[2])
+
+    trained = map50_of(load_weights(tmp_path / "exp" / "weights" / "last"))
+    untrained = map50_of(DetectionModel.from_config(dict(MICRO_SPEC), imgsz=96))
+    assert trained > 0.5, f"trained mAP50 {trained:.3f} — training did not learn the dataset"
+    assert trained > untrained + 0.4, f"trained {trained:.3f} vs untrained {untrained:.3f}"
+
+
 def test_resume_roundtrip(synth_dataset, tmp_path):
     """Checkpoint save -> resume continues from the next epoch."""
     from yolov3_tpu.train.loop import train
