@@ -175,8 +175,9 @@ def test_serve_fast_path_falls_back_on_overflow(micro_model_or_tiny=None):
 
     # tiny k forces overflow on the bumped model (4x4 and 2x2 grids at 64px)
     infer = build_batched_infer(model, conf_thres=0.01, fast=True, k_per_scale=(4, 2))
-    d_fast, n_fast, ov = infer.fast_jit(imgs)
-    assert bool(np.asarray(jnp.any(ov))), "test setup must actually overflow"
+    d_fast, meta = infer.fast_jit(imgs)  # unsharded packs (n..., overflow_any)
+    n_fast = np.asarray(meta)[:-1]
+    assert bool(np.asarray(meta)[-1]), "test setup must actually overflow"
     dets, n = infer(imgs)  # wrapper should take the fallback
     d_full, n_full = infer.full_jit(imgs)
     np.testing.assert_array_equal(np.asarray(n), np.asarray(n_full))
@@ -189,10 +190,10 @@ def test_serve_fast_path_falls_back_on_overflow(micro_model_or_tiny=None):
 
     # sparse scene: no overflow, wrapper returns the fast result
     infer2 = build_batched_infer(model, conf_thres=0.01, fast=True, k_per_scale=(48, 12))
-    d2, n2, ov2 = infer2.fast_jit(imgs)
-    assert not bool(np.asarray(jnp.any(ov2)))
+    d2, meta2 = infer2.fast_jit(imgs)
+    assert not bool(np.asarray(meta2)[-1])
     dets2, nn2 = infer2(imgs)
-    np.testing.assert_array_equal(np.asarray(nn2), np.asarray(n2))
+    np.testing.assert_array_equal(np.asarray(nn2), np.asarray(meta2)[:-1])
 
 
 def test_bench_pipeline_matches_reference_path():

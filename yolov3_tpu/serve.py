@@ -96,7 +96,15 @@ def build_batched_infer(model, conf_thres=0.25, iou_thres=0.45, max_det=300, fas
         dets, n = nms_from_candidates(
             boxes, scores, cls_ids, iou_thres=iou_thres, max_det=max_det, use_pallas=use_pallas
         )
-        return dets, n, overflow
+        if mesh is not None:
+            # sharded: every output keeps the batch dim so GSPMD can split it
+            return dets, n, overflow
+        # unsharded: pack n + the overflow-any flag into ONE small int32
+        # vector so the host needs a single tiny D2H round trip before the
+        # dets-prefix fetch (each relay round trip costs ~mS on a ~20 ms
+        # micro-batch budget; 3 fetches -> 2)
+        meta = jnp.concatenate([n.astype(jnp.int32), jnp.any(overflow).astype(jnp.int32)[None]])
+        return dets, meta
 
     def full_fn(imgs_u8):
         x = imgs_u8.astype(jnp.float32) / 255.0
@@ -119,13 +127,20 @@ def build_batched_infer(model, conf_thres=0.25, iou_thres=0.45, max_det=300, fas
     fast_jit = jax.jit(fast_fn, **jit_kw)
 
     def infer(imgs_u8):
-        dets, n, overflow = fast_jit(imgs_u8)
-        if bool(np.asarray(jnp.any(overflow))):
+        if mesh is not None:
+            dets, n, overflow = fast_jit(imgs_u8)
+            if bool(np.asarray(jnp.any(overflow))):
+                LOGGER.info("serve: top-k candidate overflow — falling back to full decode for this batch")
+                return full_jit(imgs_u8)
+            return dets, n
+        dets, meta = fast_jit(imgs_u8)
+        meta = np.asarray(meta)  # ONE small fetch: per-image counts + overflow flag
+        if meta[-1]:
             # dense scene truncated the top-k: re-run through the exact full
             # pipeline (first overflow pays its compile; correctness over speed)
             LOGGER.info("serve: top-k candidate overflow — falling back to full decode for this batch")
             return full_jit(imgs_u8)
-        return dets, n
+        return dets, meta[:-1]
 
     infer.fast_jit, infer.full_jit = fast_jit, full_jit
     infer.s2d = bool(s2d)
