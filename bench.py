@@ -258,8 +258,24 @@ def main(model_name="yolov3", imgsz=640, batch=128, iters=8, dtype="bfloat16",
         gained = _plant_detections(model.variables, (0.0,) * 3, obj_gains=gains)
         qs = np.asarray(probe_stats(gained, probe))[:, 2]
         thr_logit = float(np.log(0.25 / 0.75)) + 0.05
-        planted_vars = _plant_detections(model.variables, thr_logit - qs, obj_gains=gains)
+        deltas = thr_logit - qs
+        planted_vars = _plant_detections(model.variables, deltas, obj_gains=gains)
         per_scale = np.asarray(count_candidates(planted_vars, probe))
+        # budget guard: the quantile aim assumes a tie-free tail, but maxpool
+        # heads (yolov3-spp's SPP block) produce exactly-tied obj logits, so a
+        # quantile cut can pass several times the target and overflow the
+        # per-scale top-k budget (measured: spp overflow_frac 1.0). Back the
+        # bias off any scale whose worst probe image nears its cap — the
+        # already-jitted count probe makes each iteration one cheap execution.
+        caps = np.array([k_per_scale[min(i, len(k_per_scale) - 1)] for i in range(per_scale.shape[0])])
+        for _ in range(6):
+            worst = per_scale.max(axis=1)
+            over = worst > 0.9 * caps
+            if not over.any():
+                break
+            deltas = deltas - np.where(over, 0.35, 0.0)
+            planted_vars = _plant_detections(model.variables, deltas, obj_gains=gains)
+            per_scale = np.asarray(count_candidates(planted_vars, probe))
         planted_img_s, n_planted, ov_planted, fetch_b, fetch_s = timed(planted_vars)
         # the loaded figure is the headline (VERDICT r3 #5); the noise run
         # stays as value_noise for cross-round comparability with r01..r03
