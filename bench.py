@@ -14,44 +14,63 @@ identical headline 742 -> 651 img/s between two sessions — while on a
 co-located serving host the same bytes ride PCIe/DMA and cost microseconds.
 Speed-task NMS settings conf 0.25 / iou 0.45 (reference val.py:605-609).
 
-Methodology (one JSON line, extra keys document the full story):
+Budget discipline (round-5 restructure; the reference's analogous contract is
+benchmarks.py:44-118 — a table produced unconditionally):
+ - The HEADLINE JSON line is printed IMMEDIATELY after the first planted
+   inference measurement completes. Every later leg re-prints a superseding
+   complete line with the extra keys, so a timeout at ANY later point still
+   leaves a parsable headline on stdout (the driver takes the last JSON line).
+ - The default CLI invocation is an orchestrator: inference legs run in a
+   subprocess with INHERITED stdout (no capture — a kill cannot swallow
+   already-printed lines), and the train-throughput subprocess runs LAST
+   with a hard ~600 s cap instead of first with 3600 s (the round-4 rc=124).
+ - A wall-clock budget (env BENCH_BUDGET_S, default 1200 s) gates every leg;
+   legs that would overrun are skipped and named in `legs_skipped`.
+
+Methodology (extra keys document the full story):
  - value / vs_baseline (== planted_img_s): the pipeline with the detect-head
    objectness bias raised (host-side calibration) until ~150 above-conf
    candidates/image survive, so the per-scale top-k gathers and the Pallas
-   suppression loop do REAL work — the honest serving-load headline
-   (promoted round 4; rounds 1-3 headlined the noise run).
+   suppression loop do REAL work — the honest serving-load headline.
  - value_noise: noise-input run — measures the conv stack; NMS sees ~zero
-   candidates (kept for cross-round comparability with BENCH_r01..r03).
-   planted_n_mean = mean detections/image
-   after NMS; planted overflow is asserted zero (calibration keeps candidate
-   counts inside the top-k budget; the serving path itself falls back to full
-   decode on overflow — yolov3_tpu/serve.py).
+   candidates. NOTE ON BASIS: rounds 1-3 timed the detection-row D2H fetch
+   inside the region; from round 4 the fetch is excluded (reported separately
+   as planted_fetch_*) because dev-relay congestion moved identical runs 12%.
+   value_noise is the only cross-round-comparable series and is itself on the
+   fetch-excluded basis from r04 onward.
  - h2d_img_s: double-buffered per-batch jit with the uint8 H2D transfer
-   INSIDE the timed region. Through the axon relay (~18 MB/s) this is
-   transfer-bound and far below the on-chip number; on a directly-attached
-   host PCIe/DMA makes H2D negligible — both facts documented in docs/PERF.md.
+   INSIDE the timed region (transfer-bound through the ~18 MB/s relay).
  - train_img_s: flagship train-step throughput (bs 128, segmented remat — the
-   docs/PERF.md config), N steps in one lax.scan. Driver-visible so train
-   regressions are caught, not just inference.
+   docs/PERF.md config), N steps in one lax.scan, own subprocess (needs the
+   whole HBM).
  - latency_bs1_ms: single-image e2e device latency on the space-to-depth
-   serving model (the BASELINE.md p50-latency north star; serve.py
-   auto-selects the s2d stem for small-bucket pipelines — docs/PERF.md
-   round-3 trace work: bs1 forward -34% vs the plain layout).
+   serving model (the BASELINE.md p50-latency north star).
 
 Baseline context (BASELINE.md): the reference snapshot publishes no benchmark
 table; the driver's north star is >=3x A100 images/s/chip. vs_baseline is
-anchored to 200 img/s (typical A100 fp16 batched yolov3@640 end-to-end), so
-vs_baseline >= 3.0 meets the target.
+anchored to 200 img/s (typical A100 fp16 batched yolov3@640 end-to-end,
+measured with the fetch INCLUDED — the fetch-excluded basis here is justified
+in docs/PERF.md), so vs_baseline >= 3.0 meets the target.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
 A100_BASELINE_IMGS_PER_S = 200.0
+DEFAULT_BUDGET_S = 1200.0
+TRAIN_CAP_S = 600.0
+
+
+def _budget_s() -> float:
+    try:
+        return float(os.environ.get("BENCH_BUDGET_S", DEFAULT_BUDGET_S))
+    except ValueError:
+        return DEFAULT_BUDGET_S
 
 
 def _plant_detections(variables, obj_deltas, obj_gains=None, cls_bump=12.0):
@@ -93,34 +112,41 @@ def _plant_detections(variables, obj_deltas, obj_gains=None, cls_bump=12.0):
     return jax.tree_util.tree_map_with_path(bump, variables)
 
 
-def main(model_name="yolov3", imgsz=640, batch=128, iters=8, dtype="bfloat16",
-         with_planted=True, with_h2d=True, with_train=True, s2d_stem=False,
-         with_latency=True, _carry_extra=None):
-    extra = dict(_carry_extra or {})
-    if with_train:
-        # the train step at bs128 needs nearly the whole HBM: run it in its own
-        # process BEFORE this one claims the chip with inference buffers
-        import subprocess
-        import sys
+def run_inference_legs(model_name="yolov3", imgsz=640, batch=128, iters=8,
+                       dtype="bfloat16", with_planted=True, with_h2d=True,
+                       with_latency=True, s2d_stem=False, deadline=None,
+                       emit=None, out=None):
+    """All inference legs, in headline-first order. Prints a COMPLETE JSON
+    line the moment the headline figure exists, then a superseding complete
+    line after each further leg; writes the same dict to `emit` (atomic
+    rename) so an orchestrating parent can enrich it after a kill. `deadline`
+    is a time.monotonic() stamp past which remaining legs are skipped."""
+    out = dict(out or {})
+    skipped = list(out.pop("legs_skipped", []))
 
-        try:
-            r = subprocess.run(
-                [sys.executable, __file__, "--train-only", "--model", model_name,
-                 "--imgsz", str(imgsz), "--dtype", dtype],
-                capture_output=True, text=True, timeout=3600,
-            )
-            out_txt, err_txt = r.stdout, r.stderr
-        except subprocess.TimeoutExpired as e:  # keep the inference headline alive
-            out_txt = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
-            err_txt = "train subprocess timed out after 3600s"
-        for line in reversed(out_txt.strip().splitlines()):
-            try:
-                extra["train_img_s"] = json.loads(line)["train_img_s"]
-                break
-            except (json.JSONDecodeError, KeyError):
-                continue
-        if "train_img_s" not in extra:
-            print(f"# train metric unavailable: {out_txt[-300:]} {err_txt[-300:]}", flush=True)
+    def left():
+        return float("inf") if deadline is None else deadline - time.monotonic()
+
+    headline = {"v": None}
+
+    def publish():
+        v = headline["v"]
+        line = {
+            "metric": f"{model_name}_{imgsz}px_e2e_inference_bs{batch}",
+            "value": round(v, 2),
+            "unit": "images/sec",
+            "vs_baseline": round(v / A100_BASELINE_IMGS_PER_S, 3),
+            **out,
+        }
+        if skipped:
+            line["legs_skipped"] = skipped
+        print(json.dumps(line), flush=True)
+        if emit:
+            tmp = emit + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(line, f)
+            os.replace(tmp, emit)
+        return line
 
     import jax
     import jax.numpy as jnp
@@ -219,12 +245,10 @@ def main(model_name="yolov3", imgsz=640, batch=128, iters=8, dtype="bfloat16",
         nxt = {128: 64, 64: 16}.get(batch, 16)
         print(f"# batch {batch} failed ({type(e).__name__}); retrying at {nxt}", flush=True)
         del imgs  # drop the failed run's device image buffer before retrying
-        # preserve every flag; the train subprocess already ran (don't pay it twice)
-        return main(model_name, imgsz, nxt, iters, dtype, with_planted=with_planted,
-                    with_h2d=with_h2d, with_train=False, s2d_stem=s2d_stem,
-                    with_latency=with_latency, _carry_extra=extra)
-
-    imgs_per_s, _, _, _, _ = timed(model.variables)
+        return run_inference_legs(model_name, imgsz, nxt, iters, dtype,
+                                  with_planted=with_planted, with_h2d=with_h2d,
+                                  with_latency=with_latency, s2d_stem=s2d_stem,
+                                  deadline=deadline, emit=emit, out=out)
 
     if with_planted:
         # quantile calibration: with class biases saturated (cls_sig ~ 1,
@@ -240,14 +264,14 @@ def main(model_name="yolov3", imgsz=640, batch=128, iters=8, dtype="bfloat16",
             """Per-scale (mean, std, tail-quantile) of the obj logits."""
             x = p_imgs.astype(jdtype) / 255.0
             feats = module.apply(variables, x, train=False)
-            out = []
+            stats = []
             for i, f in enumerate(feats):
                 flat = f.reshape(f.shape[0], -1, 85)
                 obj = flat[..., 4].astype(jnp.float32).reshape(-1)
                 frac = targets[i] / flat.shape[1]
-                out.append(jnp.stack([jnp.mean(obj), jnp.std(obj),
-                                      jnp.percentile(obj, 100.0 * (1.0 - frac))]))
-            return jnp.stack(out)  # (nl, 3)
+                stats.append(jnp.stack([jnp.mean(obj), jnp.std(obj),
+                                        jnp.percentile(obj, 100.0 * (1.0 - frac))]))
+            return jnp.stack(stats)  # (nl, 3)
 
         # pass 1: measure spread, choose gains that widen it to ~2.0
         base = _plant_detections(model.variables, (0.0,) * 3)
@@ -279,8 +303,7 @@ def main(model_name="yolov3", imgsz=640, batch=128, iters=8, dtype="bfloat16",
         planted_img_s, n_planted, ov_planted, fetch_b, fetch_s = timed(planted_vars)
         # the loaded figure is the headline (VERDICT r3 #5); the noise run
         # stays as value_noise for cross-round comparability with r01..r03
-        extra.update(
-            value_noise=round(imgs_per_s, 2),
+        out.update(
             planted_img_s=round(planted_img_s, 2),
             planted_cand_mean=round(float(per_scale.sum(0).mean()), 1),
             planted_n_mean=round(float(n_planted.mean()), 1),
@@ -288,79 +311,198 @@ def main(model_name="yolov3", imgsz=640, batch=128, iters=8, dtype="bfloat16",
             planted_fetch_mb=round(fetch_b / 2**20, 2),
             planted_fetch_relay_s=round(fetch_s, 3),
         )
-        imgs_per_s = planted_img_s
+        headline["v"] = planted_img_s
+        del planted_vars
+        # HEADLINE OUT FIRST (VERDICT r4 #1): everything after this point only
+        # enriches; a timeout now still leaves a parsable, correct headline.
+        publish()
+
+        if left() > 60:  # noise leg: 3 already-compiled executions
+            noise_img_s, _, _, _, _ = timed(model.variables)
+            out["value_noise"] = round(noise_img_s, 2)
+            publish()
+        else:
+            skipped.append("noise")
+    else:
+        noise_img_s, _, _, _, _ = timed(model.variables)
+        out["value_noise"] = round(noise_img_s, 2)
+        headline["v"] = noise_img_s
+        publish()
 
     if with_latency:
         # p50-style serving latency (BASELINE.md north-star): bs1 e2e device
         # time (normalize -> forward -> decode -> NMS) on the s2d-stem serving
         # model — the small-batch regime where the space-to-depth region wins
         # 34% of forward (docs/PERF.md); serve.py auto-selects it there too.
-        from yolov3_tpu.models.detection import s2d_eligible
+        # Cost: one extra compile (s2d graph) + 3x32 bs1 executions.
+        if left() < 240:
+            skipped.append("latency")
+        else:
+            from yolov3_tpu.models.detection import s2d_eligible
 
-        lat_module = module
-        lat_vars = model.variables
-        if s2d_eligible(model.spec) and not s2d_stem:
-            lat_model = DetectionModel(model.spec, model.variables, jdtype,
-                                       fused=True, s2d_stem=True)
-            lat_module = lat_model.serving_module()
+            lat_module = module
+            lat_vars = model.variables
+            if s2d_eligible(model.spec) and not s2d_stem:
+                lat_model = DetectionModel(model.spec, model.variables, jdtype,
+                                           fused=True, s2d_stem=True)
+                lat_module = lat_model.serving_module()
 
-        def one_image(imgs):
-            x = imgs.astype(jdtype) / 255.0
-            feats = lat_module.apply(lat_vars, x, train=False)
-            b, s, c, _ = decode_topk_nhwc(feats, anchors, strides, k_per_scale=k_per_scale,
-                                          conf_thres=0.25, with_overflow=True)
-            return nms_from_candidates(b, s, c, iou_thres=0.45, max_det=300, use_pallas=True)
+            def one_image(imgs):
+                x = imgs.astype(jdtype) / 255.0
+                feats = lat_module.apply(lat_vars, x, train=False)
+                b, s, c, _ = decode_topk_nhwc(feats, anchors, strides,
+                                              k_per_scale=k_per_scale,
+                                              conf_thres=0.25, with_overflow=True)
+                return nms_from_candidates(b, s, c, iou_thres=0.45, max_det=300,
+                                           use_pallas=True)
 
-        @jax.jit
-        def lat_pipeline(all_imgs):  # (N, 1, H, W, 3)
-            def body(_, im):
-                return 0, one_image(im)
+            @jax.jit
+            def lat_pipeline(all_imgs):  # (N, 1, H, W, 3)
+                def body(_, im):
+                    return 0, one_image(im)
 
-            _, (dets, n) = jax.lax.scan(body, 0, all_imgs)
-            return dets, n
+                _, (dets, n) = jax.lax.scan(body, 0, all_imgs)
+                return dets, n
 
-        lat_iters = 32
-        lat_imgs = jax.device_put(
-            rng.integers(0, 255, size=(lat_iters, 1, imgsz, imgsz, 3), dtype=np.uint8))
-        np.asarray(lat_pipeline(lat_imgs)[1])  # compile + warm
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            np.asarray(lat_pipeline(lat_imgs)[1])
-            best = min(best, (time.perf_counter() - t0) / lat_iters)
-        extra["latency_bs1_ms"] = round(best * 1e3, 2)
+            lat_iters = 32
+            lat_imgs = jax.device_put(
+                rng.integers(0, 255, size=(lat_iters, 1, imgsz, imgsz, 3), dtype=np.uint8))
+            np.asarray(lat_pipeline(lat_imgs)[1])  # compile + warm
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                np.asarray(lat_pipeline(lat_imgs)[1])
+                best = min(best, (time.perf_counter() - t0) / lat_iters)
+            out["latency_bs1_ms"] = round(best * 1e3, 2)
+            del lat_imgs
+            publish()
 
     if with_h2d:
         # H2D-inclusive: per-batch jit, next batch's device_put overlaps the
-        # current batch's compute via async dispatch (double buffering)
+        # current batch's compute via async dispatch (double buffering).
+        # Cost: ~3 relay uploads of batch*imgsz^2*3 bytes at ~18 MB/s.
         h2d_iters = max(2, iters // 4)
-        one_jit = jax.jit(one_batch)
-        host_batches = [
-            rng.integers(0, 255, size=(batch, imgsz, imgsz, 3), dtype=np.uint8)
-            for _ in range(h2d_iters)
-        ]
-        d0, n0, _ = one_jit(model.variables, jax.device_put(host_batches[0]))  # compile
-        np.asarray(n0)
-        t0 = time.perf_counter()
-        outs = []
-        for hb in host_batches:
-            outs.append(one_jit(model.variables, jax.device_put(hb)))
-        for d, n, _ in outs:
-            np.asarray(d), np.asarray(n)
-        extra["h2d_img_s"] = round(batch * h2d_iters / (time.perf_counter() - t0), 2)
+        est = 3.0 * (h2d_iters + 1) * batch * imgsz * imgsz * 3 / (18 * 2**20) / 3
+        if left() < max(90, est):
+            skipped.append("h2d")
+        else:
+            one_jit = jax.jit(one_batch)
+            host_batches = [
+                rng.integers(0, 255, size=(batch, imgsz, imgsz, 3), dtype=np.uint8)
+                for _ in range(h2d_iters)
+            ]
+            d0, n0, _ = one_jit(model.variables, jax.device_put(host_batches[0]))  # compile
+            np.asarray(n0)
+            t0 = time.perf_counter()
+            outs = []
+            for hb in host_batches:
+                outs.append(one_jit(model.variables, jax.device_put(hb)))
+            for d, n, _ in outs:
+                np.asarray(d), np.asarray(n)
+            out["h2d_img_s"] = round(batch * h2d_iters / (time.perf_counter() - t0), 2)
 
-    print(
-        json.dumps(
-            {
-                "metric": f"{model_name}_{imgsz}px_e2e_inference_bs{batch}",
-                "value": round(imgs_per_s, 2),
-                "unit": "images/sec",
-                "vs_baseline": round(imgs_per_s / A100_BASELINE_IMGS_PER_S, 3),
-                **extra,
-            }
+    return publish()
+
+
+def main(model_name="yolov3", imgsz=640, batch=128, iters=8, dtype="bfloat16",
+         with_planted=True, with_h2d=True, with_train=True, s2d_stem=False,
+         with_latency=True):
+    """In-process inference legs + (optionally) the train subprocess LAST.
+
+    The driver-facing CLI default routes through orchestrate() instead, which
+    isolates the inference legs in their own subprocess so the train step's
+    near-total HBM claim never contends with the parent's inference buffers.
+    This entry stays for tests and the Python API."""
+    t0 = time.monotonic()
+    budget = _budget_s()
+    line = run_inference_legs(model_name, imgsz, batch, iters, dtype,
+                              with_planted=with_planted, with_h2d=with_h2d,
+                              with_latency=with_latency, s2d_stem=s2d_stem,
+                              deadline=t0 + budget - (TRAIN_CAP_S + 60 if with_train else 60))
+    if with_train:
+        remaining = budget - (time.monotonic() - t0) - 30
+        _append_train(line, model_name, imgsz, dtype, remaining)
+        print(json.dumps(line), flush=True)
+    return line["value"]
+
+
+def _append_train(line, model_name, imgsz, dtype, remaining_s):
+    """Run the train-throughput subprocess (cap min(600, remaining)) and merge
+    train_img_s into `line` — or record why it was skipped. Runs LAST so a
+    congested-relay train compile can never starve the inference headline
+    (round-4 BENCH rc=124 post-mortem)."""
+    import subprocess
+    import sys
+
+    if remaining_s < 60:
+        line.setdefault("legs_skipped", []).append("train")
+        return
+    cap = min(TRAIN_CAP_S, remaining_s)
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--train-only",
+             "--model", model_name, "--imgsz", str(imgsz), "--dtype", dtype],
+            capture_output=True, text=True, timeout=cap,
         )
-    )
-    return imgs_per_s
+        out_txt, err_txt = r.stdout, r.stderr
+    except subprocess.TimeoutExpired as e:
+        out_txt = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+        err_txt = f"train subprocess timed out after {cap:.0f}s"
+    for ln in reversed(out_txt.strip().splitlines()):
+        try:
+            line["train_img_s"] = json.loads(ln)["train_img_s"]
+            return
+        except (json.JSONDecodeError, KeyError):
+            continue
+    line.setdefault("legs_skipped", []).append("train")
+    print(f"# train metric unavailable: {out_txt[-300:]} {err_txt[-300:]}", flush=True)
+
+
+def orchestrate(a):
+    """Driver entry: inference legs in a subprocess with INHERITED stdout
+    (the headline line reaches the driver the moment it exists and cannot be
+    swallowed by a later kill), then the train subprocess LAST with a hard
+    cap, then one final combined JSON line. Wall-clock budgeted throughout."""
+    import subprocess
+    import sys
+    import tempfile
+
+    t0 = time.monotonic()
+    budget = _budget_s()
+    emit = tempfile.mktemp(suffix=".json", prefix="bench_emit_")
+    # inference gets the budget minus a train+final-line reserve, but never
+    # less than 240 s; its own internal deadline is slightly tighter so it
+    # exits cleanly (emit file flushed) instead of being killed mid-leg
+    infer_cap = max(240.0, budget - 120.0)
+    cmd = [sys.executable, os.path.abspath(__file__), "--infer-only", "--emit", emit,
+           "--model", a.model, "--imgsz", str(a.imgsz), "--batch", str(a.batch),
+           "--iters", str(a.iters), "--dtype", a.dtype]
+    for flag, on in [("--no-planted", a.no_planted), ("--no-h2d", a.no_h2d),
+                     ("--no-latency", a.no_latency), ("--s2d-stem", a.s2d_stem)]:
+        if on:
+            cmd.append(flag)
+    env = dict(os.environ)
+    env["BENCH_SELF_BUDGET"] = str(max(180.0, infer_cap - 45.0))
+    rc = 0
+    try:
+        rc = subprocess.run(cmd, env=env, timeout=infer_cap).returncode
+    except subprocess.TimeoutExpired:
+        print("# inference subprocess hit the orchestrator cap "
+              f"({infer_cap:.0f}s); headline lines above stand", flush=True)
+    line = None
+    if os.path.exists(emit):
+        try:
+            with open(emit) as f:
+                line = json.load(f)
+        finally:
+            os.unlink(emit)
+    if line is None:
+        # the child died before its first leg — nothing to enrich or supersede
+        raise SystemExit(rc or 1)
+    if not a.no_train:
+        remaining = budget - (time.monotonic() - t0) - 30
+        _append_train(line, a.model, a.imgsz, a.dtype, remaining)
+    print(json.dumps(line), flush=True)
 
 
 def _train_throughput(model_name="yolov3", imgsz=640, batch=128, iters=4):
@@ -373,6 +515,9 @@ def _train_throughput(model_name="yolov3", imgsz=640, batch=128, iters=4):
     from yolov3_tpu.train.loss import LossConfig
     from yolov3_tpu.train.optim import build_optimizer
     from yolov3_tpu.train.step import init_train_state, make_train_step
+    from yolov3_tpu.utils.general import enable_compilation_cache
+
+    enable_compilation_cache()
 
     model = DetectionModel.from_config(model_name, imgsz=64, dtype=jnp.bfloat16)
     hyp = {"lr0": 0.01, "lrf": 0.01, "momentum": 0.937, "weight_decay": 0.0005}
@@ -423,13 +568,19 @@ if __name__ == "__main__":
     p.add_argument("--no-h2d", action="store_true")
     p.add_argument("--no-train", action="store_true")
     p.add_argument("--train-only", action="store_true")
+    p.add_argument("--infer-only", action="store_true")
+    p.add_argument("--emit", default=None, help="path for the machine-readable result dict")
     p.add_argument("--s2d-stem", action="store_true")
     p.add_argument("--no-latency", action="store_true")
     a = p.parse_args()
     if a.train_only:
-        v = _train_throughput(a.model, a.imgsz)
+        v = _train_throughput(a.model, a.imgsz, a.batch)
         print(json.dumps({"train_img_s": round(v, 2)}))
+    elif a.infer_only:
+        self_budget = float(os.environ.get("BENCH_SELF_BUDGET", _budget_s() - 120.0))
+        run_inference_legs(a.model, a.imgsz, a.batch, a.iters, a.dtype,
+                           with_planted=not a.no_planted, with_h2d=not a.no_h2d,
+                           with_latency=not a.no_latency, s2d_stem=a.s2d_stem,
+                           deadline=time.monotonic() + self_budget, emit=a.emit)
     else:
-        main(a.model, a.imgsz, a.batch, a.iters, a.dtype,
-             with_planted=not a.no_planted, with_h2d=not a.no_h2d, with_train=not a.no_train,
-             s2d_stem=a.s2d_stem, with_latency=not a.no_latency)
+        orchestrate(a)

@@ -219,7 +219,13 @@ def export_onnx(model, file, imgsz=640, batch=1, include_nms=False, dynamic=Fals
     (export.py:196-264): input "images" f32 (N,3,H,W), output (N, M, nc+5),
     optional dynamic batch. NMS stays outside the artifact (like the
     reference's default onnx leg)."""
-    assert not include_nms, "onnx export emits the decode; NMS runs in the consumer"
+    if include_nms:
+        raise NotImplementedError(
+            "the native onnx leg emits the decode only (NMS runs in the "
+            "consumer, like the reference's default onnx export); for an "
+            "NMS-in-graph artifact use the tf2onnx leg (export_onnx_tf), "
+            "which carries include_nms through the SavedModel"
+        )
     from yolov3_tpu.models.onnx_native import export_onnx_bytes
 
     out = Path(file).with_suffix(".onnx")

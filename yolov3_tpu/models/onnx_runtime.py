@@ -119,7 +119,9 @@ def _parse_tensor(buf: bytes) -> Tensor:
         elif f == 2:
             t.data_type = v
         elif f == 4:
-            f32s = v if w == 2 else struct.pack("<f", v)
+            # float_data: packed chunks (w=2) accumulate; an unpacked entry
+            # (w=5) is already a raw 4-byte little-endian float
+            f32s = (f32s or b"") + v
         elif f == 7:
             i64s = (i64s or []) + _repeated_i64([(w, v)])
         elif f == 8:
@@ -286,7 +288,10 @@ def run_graph(g: GraphT, feeds: dict) -> dict:
             pads = i[1] if len(i) > 1 else a["pads"]
             half = len(pads) // 2
             widths = list(zip(pads[:half], pads[half:]))
-            y = np.pad(i[0], widths, constant_values=float(a.get("value", 0.0)))
+            # opset-11+ carries constant_value as the third input; the
+            # `value` attribute is the legacy (opset<11) spelling
+            cval = i[2] if len(i) > 2 and i[2] is not None else a.get("value", 0.0)
+            y = np.pad(i[0], widths, constant_values=float(np.asarray(cval).reshape(-1)[0]) if np.asarray(cval).size else 0.0)
         elif op == "Sigmoid":
             y = 1.0 / (1.0 + np.exp(-i[0].astype(np.float32)))
         elif op == "Mul":

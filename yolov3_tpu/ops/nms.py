@@ -155,6 +155,8 @@ def batched_nms(
     # to the XLA loop.
     k_cand = min(max_nms, n * nc if (multi_label and nc > 1) else n)
     grid_batch = bs * k_cand * 44 > 12 * 2**20
+    if use_pallas is True and jax.default_backend() != "tpu":
+        use_pallas = False  # the kernel only lowers on TPU (serve.py's gate)
     if use_pallas and k_cand * 44 > 11 * 2**20:
         use_pallas = False
     if use_pallas:
@@ -217,10 +219,13 @@ def nms_from_candidates(
     offset = jnp.where(agnostic, 0.0, cls_ids * MAX_WH)
     boxes_off = boxes + offset[..., None]
     scores = jnp.where(scores > 0, scores, -1.0)
+    if use_pallas is True and jax.default_backend() != "tpu":
+        use_pallas = False  # the kernel only lowers on TPU (serve.py's gate)
     if use_pallas:
         from yolov3_tpu.ops.nms_pallas import pallas_greedy_nms
 
-        return pallas_greedy_nms(boxes_off, boxes, scores, cls_ids, iou_thres, max_det)
+        return pallas_greedy_nms(boxes_off, boxes, scores, cls_ids, iou_thres, max_det,
+                                 interpret=use_pallas == "interpret")
     return jax.vmap(lambda bo, bx, s, c: _greedy_nms(bo, bx, s, c, iou_thres, max_det))(
         boxes_off, boxes, scores, cls_ids
     )
