@@ -320,17 +320,49 @@ def run_graph(g: GraphT, feeds: dict) -> dict:
     return {name: env[name] for name in g.outputs}
 
 
-class OnnxModel:
-    """Loaded .onnx artifact with a forward(images_nchw_f32) -> (N, M, no)."""
+def onnxruntime_available() -> bool:
+    """True when the real onnxruntime package is importable (absent from this
+    image; auto-detected so the artifact gets independent verification the
+    moment the environment allows — reference models/common.py:529-537 runs
+    its ONNX leg on onnxruntime the same way)."""
+    import importlib.util
 
-    def __init__(self, path_or_bytes):
+    return importlib.util.find_spec("onnxruntime") is not None
+
+
+class OnnxModel:
+    """Loaded .onnx artifact with a forward(images_nchw_f32) -> (N, M, no).
+
+    engine: "auto" prefers the real onnxruntime when importable (independent
+    implementation; reference models/common.py:529-537) and falls back to the
+    in-tree numpy executor; "numpy" / "onnxruntime" force one.
+    """
+
+    def __init__(self, path_or_bytes, engine: str = "auto"):
         data = path_or_bytes
         if not isinstance(data, (bytes, bytearray)):
             data = open(path_or_bytes, "rb").read()
-        self.graph = parse_onnx(bytes(data))
+        data = bytes(data)
+        self.engine = engine
+        self._session = None
+        if engine == "onnxruntime" or (engine == "auto" and onnxruntime_available()):
+            import onnxruntime as ort  # noqa: PLC0415
+
+            self._session = ort.InferenceSession(
+                data, providers=["CPUExecutionProvider"]
+            )
+            self.input_name = self._session.get_inputs()[0].name
+            self.output_name = self._session.get_outputs()[0].name
+            self.engine = "onnxruntime"
+            return
+        self.engine = "numpy"
+        self.graph = parse_onnx(data)
         self.input_name = self.graph.inputs[0] if self.graph.inputs else "images"
         self.output_name = self.graph.outputs[0] if self.graph.outputs else "output"
 
     def __call__(self, images: np.ndarray) -> np.ndarray:
-        out = run_graph(self.graph, {self.input_name: np.asarray(images, np.float32)})
+        images = np.asarray(images, np.float32)
+        if self._session is not None:
+            return self._session.run([self.output_name], {self.input_name: images})[0]
+        out = run_graph(self.graph, {self.input_name: images})
         return out[self.output_name]
