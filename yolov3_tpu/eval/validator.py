@@ -411,9 +411,11 @@ def _cached_forward(model, conf_thres, iou_thres, max_det, max_nms, loss_cfg=Non
         # max_nms=30000 — see ops/nms_pallas.py grid_batch); row-exactness vs
         # the XLA loop at these settings is pinned by
         # tests/test_nms_pallas.py::test_grid_batch_val_grade_matches_xla.
-        # Pallas neither lowers on CPU nor partitions under GSPMD (sharded
-        # val) — those paths keep the XLA loop.
-        use_pallas = jax.default_backend() == "tpu" and mesh is None
+        # Sharded (GSPMD) val keeps the kernel too: batched_nms shard_maps it
+        # over the mesh's data axis (GSPMD cannot partition a pallas_call
+        # directly; batch NMS is embarrassingly parallel across images).
+        # Pallas does not lower on CPU — that path keeps the XLA loop.
+        use_pallas = jax.default_backend() == "tpu"
 
         @functools.partial(jax.jit, **fwd_kw)
         def forward(variables, imgs_u8):
@@ -422,7 +424,7 @@ def _cached_forward(model, conf_thres, iou_thres, max_det, max_nms, loss_cfg=Non
             dets, n_valid = batched_nms(
                 pred, conf_thres=conf_thres, iou_thres=iou_thres,
                 multi_label=True, max_det=max_det, max_nms=max_nms,
-                use_pallas=use_pallas,
+                use_pallas=use_pallas, spmd_mesh=mesh,
             )
             return dets, n_valid
 
@@ -439,7 +441,7 @@ def _cached_forward(model, conf_thres, iou_thres, max_det, max_nms, loss_cfg=Non
             dets, n_valid = batched_nms(
                 pred, conf_thres=conf_thres, iou_thres=iou_thres,
                 multi_label=True, max_det=max_det, max_nms=max_nms,
-                use_pallas=use_pallas,
+                use_pallas=use_pallas, spmd_mesh=mesh,
             )
             _, comps = compute_loss(list(feats), targets, tmask, loss_cfg)
             return dets, n_valid, comps

@@ -77,10 +77,49 @@ def _greedy_nms(boxes_off, boxes, scores, cls_ids, iou_thres, max_det):
     return out, n_valid
 
 
+def _shard_mapped_pallas_nms(mesh, boxes_off, boxes, scores, cls_ids,
+                             iou_thres, max_det, grid_batch, interpret):
+    """Run the Pallas kernel under GSPMD by shard_mapping it over the mesh's
+    "data" axis: batched NMS is embarrassingly parallel across images, so each
+    device runs the kernel on its local batch rows and the outputs come back
+    batch-sharded — no fallback to the XLA loop on sharded val/serving paths
+    (GSPMD itself cannot partition a pallas_call)."""
+    from jax.sharding import PartitionSpec
+
+    from yolov3_tpu.ops.nms_pallas import pallas_greedy_nms
+
+    p = PartitionSpec("data")
+    fn = jax.shard_map(
+        functools.partial(
+            pallas_greedy_nms, iou_thres=iou_thres, max_det=max_det,
+            grid_batch=grid_batch, interpret=interpret,
+        ),
+        mesh=mesh, in_specs=(p, p, p, p), out_specs=(p, p),
+        # pallas_call's out_shape carries no varying-manual-axes metadata
+        check_vma=False,
+    )
+    return fn(boxes_off, boxes, scores, cls_ids)
+
+
+def _resolve_pallas(use_pallas, spmd_mesh, bs, k_cand):
+    """Shared gating: the kernel only lowers on TPU (interpret mode excepted),
+    a single image's planes must fit VMEM, and under a mesh the batch must
+    divide across the data axis (validator/serve route tail batches to the
+    unsharded program already)."""
+    if use_pallas is True and jax.default_backend() != "tpu":
+        return False
+    if use_pallas and k_cand * 44 > 11 * 2**20:
+        return False
+    if use_pallas and spmd_mesh is not None and bs % spmd_mesh.shape["data"]:
+        return False
+    return use_pallas
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "conf_thres", "iou_thres", "classes", "agnostic", "multi_label", "max_det", "max_nms", "merge", "use_pallas",
+        "spmd_mesh",
     ),
 )
 def batched_nms(
@@ -94,6 +133,7 @@ def batched_nms(
     max_nms: int = 30000,
     merge: bool = False,
     use_pallas: bool = False,
+    spmd_mesh=None,
 ):
     """Jittable batched NMS.
 
@@ -154,12 +194,14 @@ def batched_nms(
     # K too large for a single image's planes (>~250k candidates) falls back
     # to the XLA loop.
     k_cand = min(max_nms, n * nc if (multi_label and nc > 1) else n)
-    grid_batch = bs * k_cand * 44 > 12 * 2**20
-    if use_pallas is True and jax.default_backend() != "tpu":
-        use_pallas = False  # the kernel only lowers on TPU (serve.py's gate)
-    if use_pallas and k_cand * 44 > 11 * 2**20:
-        use_pallas = False
-    if use_pallas:
+    use_pallas = _resolve_pallas(use_pallas, spmd_mesh, bs, k_cand)
+    bs_local = bs // spmd_mesh.shape["data"] if (use_pallas and spmd_mesh is not None) else bs
+    grid_batch = bs_local * k_cand * 44 > 12 * 2**20
+    if use_pallas and spmd_mesh is not None:
+        out_b, n_valid_b = _shard_mapped_pallas_nms(
+            spmd_mesh, boxes_off_b, boxes_b, scores_b, cls_b, iou_thres, max_det,
+            grid_batch, use_pallas == "interpret")
+    elif use_pallas:
         from yolov3_tpu.ops.nms_pallas import pallas_greedy_nms
 
         # use_pallas="interpret" runs the kernel in Pallas interpret mode —
@@ -207,20 +249,26 @@ def batched_nms(
 
 
 def nms_from_candidates(
-    boxes, scores, cls_ids, iou_thres=0.45, max_det=300, agnostic=False, use_pallas=False
+    boxes, scores, cls_ids, iou_thres=0.45, max_det=300, agnostic=False, use_pallas=False,
+    spmd_mesh=None,
 ):
     """Greedy NMS over pre-extracted candidates (bs, K, ...) — the fused fast
     path fed by `decode_topk_candidates`, skipping `batched_nms`'s full-tensor
     prep. Invalid slots are marked by scores < 0. Same class-offset trick and
     greedy semantics as `batched_nms` (reference general.py:731-733).
+    `spmd_mesh` keeps the Pallas kernel on sharded (GSPMD) serving paths via
+    shard_map over the data axis.
 
     Returns (out (bs, max_det, 6), n_valid (bs,)).
     """
     offset = jnp.where(agnostic, 0.0, cls_ids * MAX_WH)
     boxes_off = boxes + offset[..., None]
     scores = jnp.where(scores > 0, scores, -1.0)
-    if use_pallas is True and jax.default_backend() != "tpu":
-        use_pallas = False  # the kernel only lowers on TPU (serve.py's gate)
+    use_pallas = _resolve_pallas(use_pallas, spmd_mesh, boxes.shape[0], boxes.shape[1])
+    if use_pallas and spmd_mesh is not None:
+        return _shard_mapped_pallas_nms(
+            spmd_mesh, boxes_off, boxes, scores, cls_ids, iou_thres, max_det,
+            False, use_pallas == "interpret")
     if use_pallas:
         from yolov3_tpu.ops.nms_pallas import pallas_greedy_nms
 

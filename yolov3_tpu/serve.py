@@ -82,9 +82,10 @@ def build_batched_infer(model, conf_thres=0.25, iou_thres=0.45, max_det=300, fas
         module = model.module
     anchors, strides = model.anchors_px, model.spec.strides
     variables = model.variables
-    # Pallas kernels don't lower on CPU, and don't auto-partition under GSPMD —
-    # sharded serving uses the (equivalent) XLA NMS loop instead
-    use_pallas = jax.default_backend() == "tpu" and mesh is None
+    # Pallas kernels don't lower on CPU (that path keeps the XLA loop); under
+    # GSPMD the kernel survives via shard_map over the mesh's data axis
+    # (nms_from_candidates spmd_mesh)
+    use_pallas = jax.default_backend() == "tpu"
 
     def fast_fn(imgs_u8):
         x = imgs_u8.astype(jnp.bfloat16) / 255.0
@@ -94,7 +95,8 @@ def build_batched_infer(model, conf_thres=0.25, iou_thres=0.45, max_det=300, fas
             with_overflow=True,
         )
         dets, n = nms_from_candidates(
-            boxes, scores, cls_ids, iou_thres=iou_thres, max_det=max_det, use_pallas=use_pallas
+            boxes, scores, cls_ids, iou_thres=iou_thres, max_det=max_det,
+            use_pallas=use_pallas, spmd_mesh=mesh,
         )
         if mesh is not None:
             # sharded: every output keeps the batch dim so GSPMD can split it
