@@ -1,0 +1,285 @@
+"""Independent-ground-truth mAP parity: both frameworks' FULL val CLIs on a
+disk dataset whose boxes are known by construction (VERDICT r4 next #5).
+
+Upgrades the self-labeled parity proxy (test_parity_reference.py): here the
+ground truth is INDEPENDENT of either framework — 500 generated images with
+COCO-like object statistics (multi-class, ~6 objects/image, small-to-large
+areas, varied aspect ratios, three image shapes so rect batching is real),
+YOLO txt labels + a COCO-format annotations JSON written by the generator.
+
+One reference-trained yolov3-tiny .pt drives BOTH end-to-end CLIs (our
+weight converter is parity-tested elsewhere):
+  - reference val.run(...)  — full pipeline: DetectMultiBackend, rect
+    dataloader pad=0.5, NMS conf 0.001 / iou 0.6 / multi_label, ap_per_class,
+    save_json (reference val.py:192-489)
+  - our cli.val.run(...)    — same contract through eval/validator.py, with
+    the cocoeval path wired in (save_json -> eval/cocoeval.py here,
+    pycocotools absent; reference val.py:454-479)
+Both prediction JSONs are then scored by the in-tree COCO bbox evaluator
+(golden-tested vs pycocotools semantics) against the independent GT, and the
+mAP50-95 gap is pinned < 0.005 — the 101-pt AP machinery exercised against
+external ground truth at scale, zero-egress.
+"""
+
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+cv2 = pytest.importorskip("cv2")
+
+sys.path.insert(0, str(Path(__file__).parent))
+import ultralytics_shim as shim  # noqa: E402  (must precede reference imports)
+
+shim.add_reference_to_path()
+
+pytestmark = pytest.mark.slow
+
+N_IMAGES = 500
+IMGSZ = 320
+NC = 80  # standard 80-class head; the dataset uses classes 0..7
+_CACHE = Path(__file__).parent.parent / "runs" / "parity_cache"
+_WEIGHTS_CACHE = _CACHE / "tiny_multiclass_ft320.pt"
+
+# 8 classes: (BGR color, shape). Colors far apart so class identity is
+# learnable from appearance alone; two shape kinds exercise box tightness.
+_CLASSES = [
+    ((40, 40, 220), "rect"), ((40, 220, 40), "rect"),
+    ((220, 40, 40), "rect"), ((40, 200, 220), "rect"),
+    ((220, 40, 200), "ellipse"), ((200, 220, 40), "ellipse"),
+    ((140, 70, 220), "ellipse"), ((90, 180, 90), "ellipse"),
+]
+
+
+def _draw_sample(rng, hw):
+    """One image + its ground-truth boxes, COCO-like marginals: ~4.5 objects
+    (1 + Poisson(3.5), cap 8), log-uniform areas from (18px)^2 up to
+    (0.55*min_side)^2, aspect ratios in [0.5, 2]. Placement rejection-samples
+    heavy overlap (IoU < 0.35 vs already-placed boxes) so occluded ground
+    truth doesn't cap the achievable mAP — the parity gate needs a model
+    whose real detections dominate the conf-0.001 noise tail."""
+    h, w = hw
+    im = np.full((h, w, 3), 114, np.uint8)
+    im += rng.integers(0, 24, im.shape, dtype=np.uint8)  # background texture
+    boxes = []  # (cls, x1, y1, x2, y2) pixels
+    for _ in range(int(min(1 + rng.poisson(3.5), 8))):
+        cls = int(rng.integers(0, len(_CLASSES)))
+        color, kind = _CLASSES[cls]
+        for _try in range(20):
+            side = np.exp(rng.uniform(np.log(18.0), np.log(0.55 * min(h, w))))
+            ar = np.exp(rng.uniform(np.log(0.5), np.log(2.0)))
+            bw = max(10, min(int(side * np.sqrt(ar)), w - 2))
+            bh = max(10, min(int(side / np.sqrt(ar)), h - 2))
+            x1 = int(rng.integers(0, w - bw))
+            y1 = int(rng.integers(0, h - bh))
+            cand = (x1, y1, x1 + bw, y1 + bh)
+            ok = True
+            for _, a1, b1, a2, b2 in boxes:
+                iw = max(0, min(cand[2], a2) - max(cand[0], a1))
+                ih = max(0, min(cand[3], b2) - max(cand[1], b1))
+                inter = iw * ih
+                union = bw * bh + (a2 - a1) * (b2 - b1) - inter
+                if inter / union > 0.35:
+                    ok = False
+                    break
+            if ok:
+                break
+        else:
+            continue
+        if kind == "rect":
+            cv2.rectangle(im, (x1, y1), (x1 + bw - 1, y1 + bh - 1), color, -1)
+        else:
+            cv2.ellipse(im, (x1 + bw // 2, y1 + bh // 2), (bw // 2, bh // 2),
+                        0, 0, 360, color, -1)
+        boxes.append((cls, x1, y1, x1 + bw, y1 + bh))
+    return im, boxes
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    """500-image disk dataset: images/, labels/ (YOLO txt), dataset.yaml,
+    annotations/instances_val2017.json (independent COCO-format GT)."""
+    root = tmp_path_factory.mktemp("independent_ds")
+    (root / "images").mkdir()
+    (root / "labels").mkdir()
+    (root / "annotations").mkdir()
+    rng = np.random.default_rng(42)
+    shapes = [(320, 320), (288, 384), (384, 288)]  # rect batching is real
+    gt = {"images": [], "annotations": [], "categories":
+          [{"id": c, "name": f"class{c}"} for c in range(len(_CLASSES))]}
+    ann_id = 1
+    for i in range(N_IMAGES):
+        h, w = shapes[i % len(shapes)]
+        im, boxes = _draw_sample(rng, (h, w))
+        stem = f"{i:06d}"
+        cv2.imwrite(str(root / "images" / f"{stem}.png"), im)  # png: GT stays exact
+        with open(root / "labels" / f"{stem}.txt", "w") as f:
+            for cls, x1, y1, x2, y2 in boxes:
+                xc, yc = (x1 + x2) / 2 / w, (y1 + y2) / 2 / h
+                f.write(f"{cls} {xc:.6f} {yc:.6f} {(x2 - x1) / w:.6f} {(y2 - y1) / h:.6f}\n")
+        gt["images"].append({"id": i, "file_name": f"{stem}.png", "width": w, "height": h})
+        for cls, x1, y1, x2, y2 in boxes:
+            gt["annotations"].append({
+                "id": ann_id, "image_id": i, "category_id": cls,
+                "bbox": [float(x1), float(y1), float(x2 - x1), float(y2 - y1)],
+                "area": float((x2 - x1) * (y2 - y1)), "iscrowd": 0,
+            })
+            ann_id += 1
+    with open(root / "annotations" / "instances_val2017.json", "w") as f:
+        json.dump(gt, f)
+    yaml_path = root / "dataset.yaml"
+    names = {c: f"class{c}" for c in range(NC)}
+    with open(yaml_path, "w") as f:
+        import yaml
+
+        yaml.safe_dump({"path": str(root), "train": "images", "val": "images",
+                        "nc": NC, "names": names}, f)
+    return root, yaml_path
+
+
+@pytest.fixture(scope="module")
+def trained_pt(tmp_path_factory):
+    """Reference yolov3-tiny fine-tuned on the generator's distribution,
+    saved as a reference-format .pt ({'model': nn.Module}, train.py:470-480)
+    — the ONE set of weights both CLIs consume. Cached on disk."""
+    from models.yolo import Model
+
+    torch.manual_seed(0)
+    torch.set_num_threads(1)
+    m = Model("/root/reference/models/yolov3-tiny.yaml", ch=3, nc=NC)
+    if not _WEIGHTS_CACHE.exists():
+        from utils.loss import ComputeLoss
+
+        m.hyp = {"box": 0.05, "obj": 1.0, "cls": 0.5, "cls_pw": 1.0, "obj_pw": 1.0,
+                 "label_smoothing": 0.0, "fl_gamma": 0.0, "anchor_t": 4.0}
+        for mod in m.modules():  # BN momentum 0.03 can't track a short overfit
+            if isinstance(mod, torch.nn.BatchNorm2d):
+                mod.momentum = 0.5
+        loss_fn = ComputeLoss(m)
+        opt = torch.optim.SGD(m.parameters(), lr=0.02, momentum=0.9)
+        rng = np.random.default_rng(1234)  # train distribution == val generator
+        n_batches, bs = 24, 6  # 144 distinct images; val generalizes to 500 unseen
+        batches = []
+        for _ in range(n_batches):
+            imgs, tlist = [], []
+            for bi in range(bs):
+                im, boxes = _draw_sample(rng, (IMGSZ, IMGSZ))
+                imgs.append(im)
+                for cls, x1, y1, x2, y2 in boxes:
+                    tlist.append([bi, cls, (x1 + x2) / 2 / IMGSZ, (y1 + y2) / 2 / IMGSZ,
+                                  (x2 - x1) / IMGSZ, (y2 - y1) / IMGSZ])
+            x = torch.from_numpy(np.stack(imgs).astype(np.float32).transpose(0, 3, 1, 2) / 255.0)
+            batches.append((x, torch.tensor(tlist, dtype=torch.float32)))
+        m.train()
+        n_steps = 50 * n_batches
+        for step in range(n_steps):
+            if step == int(n_steps * 0.6):
+                for g in opt.param_groups:
+                    g["lr"] = 0.005
+            x, t = batches[step % n_batches]
+            opt.zero_grad()
+            loss, _ = loss_fn(m(x), t)
+            loss.backward()
+            opt.step()
+        m.eval()
+        _WEIGHTS_CACHE.parent.mkdir(parents=True, exist_ok=True)
+        torch.save(m.state_dict(), _WEIGHTS_CACHE)
+    m.load_state_dict(torch.load(_WEIGHTS_CACHE, map_location="cpu"))
+    m.eval()
+    # reference checkpoint format: pickled module under 'model' (train.py:473);
+    # release checkpoints carry .nc/.names attributes val.py:319 reads
+    m.nc = NC
+    m.names = {c: f"class{c}" for c in range(NC)}
+    # name carries the cfg: our .pt loader infers the architecture from
+    # the stem (models/loading.py), the reference from the pickled module
+    pt = tmp_path_factory.mktemp("weights") / "yolov3-tiny.pt"
+    torch.save({"model": m.float(), "epoch": -1, "ema": None}, pt)
+    return pt
+
+
+def test_independent_gt_map_parity(dataset, trained_pt, tmp_path):
+    root, yaml_path = dataset
+
+    # zero-egress: the reference's check_dataset -> check_font downloads
+    # Arial.ttf into its config dir if absent (reference general.py:360-366);
+    # pre-seed it with a real ttf so no network is touched
+    from utils.general import CONFIG_DIR
+
+    font = Path(CONFIG_DIR) / "Arial.ttf"
+    if not font.exists():
+        import shutil
+
+        import matplotlib
+
+        font.parent.mkdir(parents=True, exist_ok=True)
+        shutil.copy(Path(matplotlib.get_data_path()) / "fonts/ttf/DejaVuSans.ttf", font)
+
+    # ---- reference full val CLI (val.py run()) ----
+    import val as ref_val
+
+    # the reference's NMS wall-clock guard (general.py:675 time_limit =
+    # 0.5+0.05*bs) BREAKS out of the batch loop when the 1-core CPU is slow,
+    # silently dropping later images' detections and deflating its mAP — a
+    # host-speed artifact, not framework semantics (a GPU run never trips
+    # it). Catch it so a slow box fails loudly instead of skewing the gate.
+    import utils.general as ref_general
+
+    tripped = []
+    orig_warn = ref_general.LOGGER.warning
+    ref_general.LOGGER.warning = lambda msg, *a: (
+        tripped.append(msg) if "time limit" in str(msg) else orig_warn(msg, *a))
+    ref_results, _, _ = ref_val.run(
+        data=str(yaml_path), weights=str(trained_pt), batch_size=8, imgsz=IMGSZ,
+        conf_thres=0.001, iou_thres=0.6, max_det=300, device="cpu", workers=0,
+        save_json=True, half=False, plots=False,
+        project=str(tmp_path / "val"), name="ref", exist_ok=True,
+    )
+    ref_general.LOGGER.warning = orig_warn
+    assert not tripped, (
+        f"reference NMS tripped its wall-clock limit {len(tripped)}x — its "
+        "detections are truncated on this host; the comparison would be unfair")
+    ref_map50, ref_map = float(ref_results[2]), float(ref_results[3])
+    ref_pred_json = tmp_path / "val" / "ref" / f"{trained_pt.stem}_predictions.json"
+    assert ref_pred_json.exists()
+
+    # ---- our full val CLI on the SAME .pt ----
+    from yolov3_tpu.cli.val import run as our_val_run
+
+    our_results, _, _ = our_val_run(
+        data=str(yaml_path), weights=str(trained_pt), batch_size=8, imgsz=IMGSZ,
+        conf_thres=0.001, iou_thres=0.6, max_det=300, workers=0,
+        save_json=True, project=str(tmp_path / "val"), name="ours", exist_ok=True,
+    )
+    # save_json wires cocoeval in: returned map is the COCO-eval figure
+    our_map50_coco, our_map_coco = float(our_results[2]), float(our_results[3])
+    our_pred_json = next((tmp_path / "val" / "ours").glob("**/predictions.json"))
+
+    anno = root / "annotations" / "instances_val2017.json"
+    from yolov3_tpu.eval.cocoeval import evaluate_coco_json
+
+    # identical evaluator, independent GT, each framework's own end-to-end
+    # detections — the parity gate
+    ref_coco_map, ref_coco_map50 = evaluate_coco_json(str(anno), str(ref_pred_json))
+    our_coco_map, our_coco_map50 = evaluate_coco_json(str(anno), str(our_pred_json))
+
+    print(f"\nref: ap_per_class mAP50-95 {ref_map:.4f} mAP50 {ref_map50:.4f}; "
+          f"cocoeval {ref_coco_map:.4f}/{ref_coco_map50:.4f}")
+    print(f"ours: cocoeval (wired) {our_map_coco:.4f}/{our_map50_coco:.4f}; "
+          f"re-scored {our_coco_map:.4f}/{our_coco_map50:.4f}")
+
+    # the trained detector genuinely detects on the independent GT (measured
+    # 0.149/0.295 for the cached weights; the NMS-limit guard above already
+    # ensures real detections dominate the conf-0.001 noise tail)
+    assert ref_coco_map > 0.12 and ref_coco_map50 > 0.25, (
+        f"reference too weak to compare: {ref_coco_map}/{ref_coco_map50}")
+    # our wired save_json path scored the same file the re-scoring did
+    np.testing.assert_allclose(our_map_coco, our_coco_map, atol=1e-9)
+    # THE gate: |mAP50-95_ours - mAP50-95_ref| < 0.005 on independent GT
+    assert abs(our_coco_map - ref_coco_map) < 0.005, (our_coco_map, ref_coco_map)
+    assert abs(our_coco_map50 - ref_coco_map50) < 0.005, (our_coco_map50, ref_coco_map50)
+    # and the ap_per_class basis agrees across frameworks too (reference
+    # returns that basis since pycocotools is absent, val.py:477-479)
+    assert abs(our_map50_coco - ref_coco_map50) < 0.005

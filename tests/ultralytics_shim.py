@@ -44,7 +44,28 @@ uu = _module("ultralytics.utils")
 u.utils = uu
 
 uu.LOGGER = LOGGER
-uu.TQDM = lambda it=None, **kw: it if it is not None else (lambda x: x)
+class _TQDM:
+    """Inert tqdm stand-in: iterable pass-through + the attribute surface the
+    reference touches (desc, close, update — e.g. dataloaders.py:612-632)."""
+
+    def __init__(self, iterable=None, **kw):
+        self.iterable = iterable
+        self.desc = kw.get("desc", "")
+
+    def __iter__(self):
+        return iter(self.iterable if self.iterable is not None else ())
+
+    def __call__(self, x):  # TQDM used as a wrapper factory
+        return x
+
+    def update(self, *a, **k):
+        pass
+
+    def close(self):
+        pass
+
+
+uu.TQDM = _TQDM
 
 
 def colorstr(*args):
