@@ -78,7 +78,12 @@ class _FakeExperiment:
         self.others.append((k, v))
 
     def log_image(self, *a, **kw):
-        pass
+        self.images = getattr(self, "images", [])
+        self.images.append((a, kw))
+
+    def log_asset_data(self, asset, name=None, epoch=None, **kw):
+        self.asset_data = getattr(self, "asset_data", [])
+        self.asset_data.append((asset, name or (kw.get("file_name")), epoch))
 
     def get_parameter(self, k):
         return self.params[k]
@@ -296,3 +301,129 @@ def test_clearml_debug_samples_and_boxes(monkeypatch, tmp_path):
     log_image_with_boxes(task, f0, boxes, {0: "cat", 1: "dog"}, conf_threshold=0.25, iteration=3)
     last = task.get_logger().images[-1]
     assert last["title"] == "Bounding Boxes" and last["iteration"] == 3 and last["has_array"]
+
+
+def test_comet_prediction_logging_depth(monkeypatch, tmp_path):
+    """Per-image prediction/annotation logging at reference depth (reference
+    utils/loggers/comet/__init__.py:258-296 + the train-end
+    image-metadata.json flush :436-439), driven through the Loggers bus and
+    the validator's on_val_image_end hook contract (VERDICT r4 next #7)."""
+    import cv2
+
+    _, exp = _install_fake_comet(monkeypatch)
+    monkeypatch.setenv("COMET_API_KEY", "fake")
+    from yolov3_tpu.utils.callbacks import Callbacks
+    from yolov3_tpu.utils.loggers import Loggers
+
+    lg = Loggers(save_dir=tmp_path, include=("comet",))
+    assert lg.comet is exp
+    cb = lg.attach(Callbacks())
+
+    img = tmp_path / "000007.png"
+    cv2.imwrite(str(img), np.full((64, 64, 3), 128, np.uint8))
+    predn = np.array([[10, 10, 40, 40, 0.9, 1],      # IoU-matches the label
+                      [50, 50, 60, 60, 0.8, 0],      # no label overlap
+                      [12, 12, 38, 38, 0.1, 1]])     # below conf
+    labelsn = np.array([[1, 11, 11, 41, 41]])
+    cb.run("on_train_epoch_end", epoch=3)
+    cb.run("on_val_image_end", predn=predn, path=str(img), names={0: "cat", 1: "dog"},
+           labelsn=labelsn)
+    # image logged once under the (image, epoch) name...
+    assert len(exp.images) == 1 and exp.images[0][1]["name"] == "000007_curr_epoch_3"
+    meta = lg._comet_pred_state["metadata"]["000007_curr_epoch_3"]
+    # ...with gt + the one IoU-matched detection (not the unmatched/low-conf)
+    assert [m["label"] for m in meta] == ["dog-gt", "dog"]
+    assert meta[1]["score"] == pytest.approx(90.0)
+    # same image again in the same epoch: no duplicate image upload
+    cb.run("on_val_image_end", predn=predn, path=str(img), names={1: "dog"}, labelsn=labelsn)
+    assert len(exp.images) == 1
+    # train end flushes the metadata asset (comet/__init__.py:436-439)
+    cb.run("on_train_end")
+    assert exp.asset_data and exp.asset_data[0][1] == "image-metadata.json"
+    assert "000007_curr_epoch_3" in exp.asset_data[0][0]
+
+
+def test_clearml_val_image_hook_caps_at_16(monkeypatch, tmp_path):
+    """ClearML bbox-image logging through the same hook (reference
+    loggers/__init__.py:210), with the reference's 16-images/epoch cap."""
+    import cv2
+
+    _, task = _install_fake_clearml(monkeypatch, dataset_root=tmp_path)
+    from yolov3_tpu.utils.callbacks import Callbacks
+    from yolov3_tpu.utils.loggers import Loggers
+
+    lg = Loggers(save_dir=tmp_path, include=("clearml",))
+    assert lg.clearml is task
+    cb = lg.attach(Callbacks())
+    img = tmp_path / "x.png"
+    cv2.imwrite(str(img), np.full((32, 32, 3), 100, np.uint8))
+    predn = np.array([[2.0, 2.0, 20.0, 20.0, 0.9, 0]])
+    for _ in range(20):
+        cb.run("on_val_image_end", predn=predn, path=str(img), names={0: "cat"})
+    assert len(task.get_logger().images) == 16  # capped
+    cb.run("on_fit_epoch_end", epoch=0, vals=[0.0])  # re-arms per epoch
+    cb.run("on_val_image_end", predn=predn, path=str(img), names={0: "cat"})
+    assert len(task.get_logger().images) == 17
+
+
+def test_clearml_hpo_analog(monkeypatch):
+    """ClearML HPO over the evolve bounds (reference utils/loggers/clearml/
+    hpo.py): full optimizer lifecycle against the mocked SDK."""
+    calls = {}
+
+    class _FakeRange:
+        def __init__(self, name, min_value=None, max_value=None):
+            self.name, self.min_value, self.max_value = name, min_value, max_value
+
+    class _FakeHPO:
+        def __init__(self, **kw):
+            calls["init"] = kw
+
+        def set_report_period(self, p):
+            calls["report_period"] = p
+
+        def set_time_limit(self, in_minutes=None):
+            calls["time_limit"] = in_minutes
+
+        def start_locally(self):
+            calls["started"] = "local"
+
+        def start(self):
+            calls["started"] = "remote"
+
+        def wait(self):
+            calls["waited"] = True
+
+        def stop(self):
+            calls["stopped"] = True
+
+    mod = types.ModuleType("clearml")
+    mod.Task = types.SimpleNamespace(
+        init=lambda **kw: calls.setdefault("task", kw),
+        TaskTypes=types.SimpleNamespace(optimizer="optimizer"),
+    )
+    auto = types.ModuleType("clearml.automation")
+    auto.HyperParameterOptimizer = _FakeHPO
+    auto.UniformParameterRange = _FakeRange
+    auto.RandomSearch = "random-search"
+    monkeypatch.setitem(sys.modules, "clearml", mod)
+    monkeypatch.setitem(sys.modules, "clearml.automation", auto)
+    monkeypatch.delitem(sys.modules, "clearml.automation.optuna", raising=False)
+
+    from yolov3_tpu.train.evolve import META
+    from yolov3_tpu.utils.loggers.clearml_hpo import run_clearml_hpo
+
+    run_clearml_hpo("task123", total_max_jobs=7)
+    kw = calls["init"]
+    assert kw["base_task_id"] == "task123" and kw["total_max_jobs"] == 7
+    ranges = kw["hyper_parameters"]
+    assert len(ranges) == len(META)  # the full 28-key evolve space
+    names = {r.name for r in ranges}
+    assert "Hyperparameters/lr0" in names and "Hyperparameters/copy_paste" in names
+    lr0 = next(r for r in ranges if r.name == "Hyperparameters/lr0")
+    assert (lr0.min_value, lr0.max_value) == (1e-5, 1e-1)
+    # optuna absent -> RandomSearch fallback; lifecycle ran to completion
+    assert kw["optimizer_class"] == "random-search"
+    assert kw["objective_metric_series"] == "mAP_0.5" and kw["objective_metric_sign"] == "max"
+    assert calls["started"] == "local" and calls["waited"] and calls["stopped"]
+    assert calls["task"]["task_type"] == "optimizer"

@@ -57,6 +57,7 @@ def run(
     workers=1,
     half=False,
     sharded=False,
+    callbacks=None,
 ):
     """Evaluate `model` (a DetectionModel handle OR a MultiBackend wrapping any
     exported artifact — stablehlo/savedmodel/tflite, reference val.py:293 runs
@@ -241,6 +242,12 @@ def run(
                 stats.append((correct, pred[:, 4] if len(pred) else np.zeros(0), pred[:, 5] if len(pred) else np.zeros(0), labelsn[:, 0]))
                 if confusion is not None:
                     confusion.process_batch(pred, labelsn)
+                if callbacks is not None:
+                    # per-image hook with native-space predictions + labels
+                    # (reference val.py:414 on_val_image_end -> logger depth)
+                    callbacks.run("on_val_image_end", predn=pred,
+                                  path=dataloader.dataset.im_files[seen - 1],
+                                  names=names, labelsn=labelsn)
                 if save_txt:  # save_conf only modifies the txt format (reference val.py:410)
                     h0w0 = shape_meta[0] if shape_meta is not None else (h, w)
                     _save_one_txt(pred, Path(save_dir) / "labels",

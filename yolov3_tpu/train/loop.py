@@ -348,6 +348,7 @@ def train(
                 # multi-host: val is process-0-local (host-local loader +
                 # host-local EMA copy above), so no sharding
                 sharded=mesh if (mesh.devices.size > 1 and jax.process_count() == 1) else False,
+                callbacks=callbacks,  # on_val_image_end -> logger prediction depth
             )
             fi = float(np.asarray(fitness(np.array(results).reshape(1, -1))).reshape(-1)[0])
             callbacks.run("on_val_end", epoch=epoch)

@@ -72,10 +72,38 @@ class Loggers:
                 self.comet = comet_ml.Experiment(project_name="yolov3_tpu")
             except Exception:  # noqa: BLE001
                 self.comet = None
+        # per-image prediction logging state (reference comet/__init__.py
+        # logged_images_count/metadata_dict) + the epoch the val belongs to
+        self._comet_pred_state = {}
+        self._clearml_logged_images = 0
+        self._epoch = 0
 
     # -- hook methods ------------------------------------------------------
+    def on_val_image_end(self, predn, path, names, labelsn=None):
+        """Per-image prediction logging during validation (reference
+        loggers/__init__.py:210 -> ClearML bbox images, and the Comet
+        prediction/annotation depth comet/__init__.py:258-296): detections in
+        native image space with class names — Comet gets the image + an
+        annotation-metadata entry (flushed as image-metadata.json at train
+        end), ClearML gets the drawn bbox image (capped at 16/epoch like the
+        reference's debug samples)."""
+        names = names if isinstance(names, dict) else dict(enumerate(names or ()))
+        if self.comet:
+            from yolov3_tpu.utils.loggers.comet_utils import log_predictions
+
+            log_predictions(self.comet, predn, labelsn, path, names,
+                            self._comet_pred_state, curr_epoch=self._epoch)
+        if self.clearml and self._clearml_logged_images < 16 and len(predn):
+            from yolov3_tpu.utils.loggers.clearml_utils import log_image_with_boxes
+
+            log_image_with_boxes(self.clearml, path, predn, names,
+                                 iteration=self._epoch)
+            self._clearml_logged_images += 1
+
     def on_fit_epoch_end(self, vals, epoch):
         """Log the 13 standard keys at epoch end."""
+        self._epoch = epoch
+        self._clearml_logged_images = 0  # re-arm the per-epoch debug-image cap
         x = dict(zip(self.keys, list(vals) + [0.0] * (len(self.keys) - len(vals))))
         new = not self.csv_file.exists()
         with open(self.csv_file, "a", newline="") as f:
@@ -184,6 +212,15 @@ class Loggers:
                 LOGGER.warning(f"Comet model artifact failed: {e}")
 
     def on_train_end(self, results_csv=None):
+        if self.comet and self._comet_pred_state.get("metadata"):
+            # image-metadata.json asset with every logged prediction's
+            # annotations (reference comet/__init__.py:436-439)
+            try:
+                from yolov3_tpu.utils.loggers.comet_utils import flush_prediction_metadata
+
+                flush_prediction_metadata(self.comet, self._comet_pred_state, self._epoch)
+            except Exception as e:  # noqa: BLE001
+                LOGGER.warning(f"Comet prediction metadata flush failed: {e}")
         if results_csv and Path(results_csv).exists() and self.plots:
             try:
                 from yolov3_tpu.utils.plots import plot_results
@@ -234,6 +271,15 @@ class Loggers:
         callbacks.register_action(
             "on_fit_epoch_end", "loggers",
             lambda epoch=0, fitness=0.0, vals=(), **kw: self.on_fit_epoch_end(vals or [fitness], epoch),
+        )
+        callbacks.register_action(
+            "on_train_epoch_end", "loggers",
+            lambda epoch=0, **kw: setattr(self, "_epoch", epoch),
+        )
+        callbacks.register_action(
+            "on_val_image_end", "loggers",
+            lambda predn=None, path=None, names=(), labelsn=None, **kw:
+                self.on_val_image_end(predn, path, names, labelsn),
         )
         callbacks.register_action(
             "on_val_end", "loggers", lambda epoch=0, **kw: self.on_val_end(epoch)

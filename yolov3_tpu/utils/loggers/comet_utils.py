@@ -84,6 +84,65 @@ def check_comet_resume(resume):
     return {"weights": weights, "opt": opt, "experiment": experiment_path}
 
 
+def log_predictions(experiment, predn, labelsn, image_path, class_names, state,
+                    curr_epoch=0, conf_thres=0.25, iou_thres=0.45, max_images=100):
+    """Per-image prediction + ground-truth bbox logging (reference
+    utils/loggers/comet/__init__.py:258-296 log_predictions): keep detections
+    above conf_thres that IoU-match a label, log the native image once per
+    (image, epoch), and accumulate Comet's annotation-metadata entries
+    ("label"/"score"/"box") in `state` for the train-end
+    image-metadata.json asset (reference comet/__init__.py:436-439).
+
+    state: mutable dict carried by the caller across images/epochs —
+    {"count": int, "names": [image_name], "metadata": {image_name: [...]}}.
+    """
+    import numpy as np
+
+    from yolov3_tpu.ops.boxes import box_iou
+
+    if state.setdefault("count", 0) >= max_images:
+        return
+    predn = np.asarray(predn, np.float32)
+    labelsn = (np.asarray(labelsn, np.float32) if labelsn is not None and len(labelsn)
+               else np.zeros((0, 5), np.float32))
+    detections = predn[predn[:, 4] > conf_thres]
+    if not len(detections) or not len(labelsn):
+        return
+    iou = np.asarray(box_iou(labelsn[:, 1:5], detections[:, :4]))
+    label_idx, det_idx = np.where(iou > iou_thres)
+    if len(label_idx) == 0:
+        return
+    filtered_detections = detections[np.unique(det_idx)]
+    filtered_labels = labelsn[np.unique(label_idx)]
+
+    image_id = Path(image_path).stem
+    image_name = f"{image_id}_curr_epoch_{curr_epoch}"
+    if image_name not in state.setdefault("names", []):
+        experiment.log_image(str(image_path), name=image_name)
+        state["names"].append(image_name)
+
+    metadata = [
+        {"label": f"{class_names.get(int(cls), int(cls))}-gt", "score": 100,
+         "box": {"x": float(x1), "y": float(y1), "x2": float(x2), "y2": float(y2)}}
+        for cls, x1, y1, x2, y2 in filtered_labels.tolist()
+    ]
+    metadata.extend(
+        {"label": f"{class_names.get(int(cls), int(cls))}", "score": float(conf) * 100,
+         "box": {"x": float(x1), "y": float(y1), "x2": float(x2), "y2": float(y2)}}
+        for x1, y1, x2, y2, conf, cls in filtered_detections.tolist()
+    )
+    state.setdefault("metadata", {})[image_name] = metadata
+    state["count"] += 1
+
+
+def flush_prediction_metadata(experiment, state, curr_epoch=0):
+    """Train-end upload of the accumulated per-image annotation metadata
+    (reference comet/__init__.py on_train_end:436-439)."""
+    if state.get("metadata"):
+        experiment.log_asset_data(state["metadata"], "image-metadata.json",
+                                  epoch=int(curr_epoch))
+
+
 def run_comet_sweep(optimizer_config, train_fn):
     """Comet Optimizer HPO loop (reference comet/hpo.py): for each suggested
     parameter set, run `train_fn(hyp_overrides, experiment)` and report the
