@@ -128,3 +128,28 @@ def test_check_requirements_and_online():
     t0 = time.time()
     online = check_online(timeout=1.0)
     assert isinstance(online, bool) and time.time() - t0 < 10
+
+
+def test_missing_pt_routes_through_release_download(monkeypatch, tmp_path):
+    """A nonexistent .pt triggers the release auto-download funnel (reference
+    downloads.py:82-128 via DetectMultiBackend/attempt_load), pointed at the
+    ultralytics/yolov3 release — not yolov5."""
+    from yolov3_tpu.models import loading
+    from yolov3_tpu.utils import downloads
+
+    assert "ultralytics/yolov3" in downloads.RELEASE_URL
+
+    calls = {}
+
+    def fake_attempt_download(file, repo_url=downloads.RELEASE_URL):
+        calls["file"] = str(file)
+        calls["url"] = repo_url
+        raise ConnectionError("zero-egress sentinel")
+
+    monkeypatch.setattr(downloads, "attempt_download", fake_attempt_download)
+    import pytest
+
+    with pytest.raises(ConnectionError, match="zero-egress sentinel"):
+        loading.load_weights(str(tmp_path / "yolov3-tiny.pt"))
+    assert calls["file"].endswith("yolov3-tiny.pt")
+    assert "ultralytics/yolov3" in calls["url"]

@@ -25,6 +25,13 @@ def load_weights(weights, ch=3, nc=None):
         from yolov3_tpu.utils.checkpoint import load_model_from_checkpoint
 
         return load_model_from_checkpoint(weights)
+    if p.suffix == ".pt" and not p.exists():
+        # reference auto-downloads missing release weights (downloads.py:82-128,
+        # wired through DetectMultiBackend/attempt_load); fails soft with a
+        # clear message in zero-egress environments
+        from yolov3_tpu.utils.downloads import attempt_download
+
+        p = Path(attempt_download(p))
     if p.suffix == ".pt" and p.exists():  # reference torch checkpoint
         from yolov3_tpu.models.convert import convert_torch_checkpoint
 

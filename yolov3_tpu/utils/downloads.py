@@ -14,7 +14,7 @@ from pathlib import Path
 
 from yolov3_tpu.utils.general import LOGGER
 
-RELEASE_URL = "https://github.com/ultralytics/yolov5/releases/download/v9.6.0"
+RELEASE_URL = "https://github.com/ultralytics/yolov3/releases/download/v9.6.0"
 
 
 def safe_download(file, url, url2=None, min_bytes=1e0, error_msg=""):

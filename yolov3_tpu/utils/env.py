@@ -95,3 +95,50 @@ def imwrite(path, im) -> bool:
         return bool(ok)
     except Exception:  # noqa: BLE001
         return False
+
+
+def notebook_init(verbose=True):
+    """Notebook environment check: prints hardware/software summary and returns
+    the IPython display module (or None outside a kernel).
+
+    Parity with reference utils/__init__.py:9-46 notebook_init (RAM/disk/CUDA
+    summary, Colab sample_data cleanup); here the hardware line reports the
+    JAX backend — platform, device count, and device kind — since that is
+    what a TPU notebook user needs to confirm before training.
+    """
+    import shutil
+
+    from yolov3_tpu.utils.general import LOGGER
+
+    LOGGER.info("Checking setup...")
+    if is_colab():
+        shutil.rmtree("/content/sample_data", ignore_errors=True)
+
+    display = None
+    if verbose:
+        import jax
+
+        gb = 1 << 30
+        try:
+            import psutil
+
+            ram = f"{psutil.virtual_memory().total / gb:.1f} GB RAM, "
+        except ImportError:
+            ram = ""
+        total, _used, free = shutil.disk_usage("/")
+        try:
+            from IPython import display as _display
+
+            display = _display
+            display.clear_output()
+        except ImportError:
+            pass
+        devs = jax.devices()
+        hw = f"{devs[0].platform.upper()} x{len(devs)} ({devs[0].device_kind})"
+        import yolov3_tpu
+
+        LOGGER.info(
+            f"yolov3_tpu {yolov3_tpu.__version__} py-{platform.python_version()} "
+            f"jax-{jax.__version__} {hw} ({ram}{free / gb:.1f}/{total / gb:.1f} GB disk)"
+        )
+    return display
