@@ -231,3 +231,40 @@ def test_bench_pipeline_matches_reference_path():
     for b in range(2):
         nb = int(n[b])
         np.testing.assert_allclose(np.asarray(out[b, :nb]), np.asarray(ref_out[b, :nb]), rtol=1e-4, atol=1e-3)
+
+
+def test_pallas_score_decode_matches_xla_decode():
+    """decode_topk_nhwc(use_pallas="interpret") yields the SAME candidate set
+    (box, score, cls, overflow) as the XLA path — only the flat candidate
+    order (a,y,x vs y,x,a) may differ, so compare as sets keyed by score with
+    tie groups compared as multisets."""
+    from yolov3_tpu.models.detect_head import decode_topk_nhwc
+
+    rng = np.random.default_rng(3)
+    anchors = np.array([[10, 13, 16, 30, 33, 23], [30, 61, 62, 45, 59, 119]],
+                       np.float32).reshape(2, 3, 2)
+    strides = (8.0, 16.0)
+    feats = []
+    for ny, nx in [(24, 24), (12, 12)]:  # M=576 > R=512 exercises the partial block
+        x = rng.normal(0, 1, (2, ny, nx, 255)).astype(np.float32)
+        x[..., 4::85] -= 4.0
+        hot = rng.random((2, ny, nx, 3)) < 0.03
+        xo = x[..., 4::85]
+        xo[hot] += 8.0
+        x[..., 4::85] = xo
+        feats.append(jnp.asarray(x, jnp.bfloat16))
+
+    ref = decode_topk_nhwc(feats, anchors, strides, (64, 32), 0.25, with_overflow=True)
+    pal = decode_topk_nhwc(feats, anchors, strides, (64, 32), 0.25, with_overflow=True,
+                           use_pallas="interpret")
+    rb, rs, rc, rov = [np.asarray(a) for a in ref]
+    pb, ps, pc, pov = [np.asarray(a) for a in pal]
+    np.testing.assert_array_equal(rov, pov)
+    for b in range(2):
+        vr, vp = rs[b] > 0, ps[b] > 0
+        assert vr.sum() == vp.sum() > 0
+        refset = sorted((float(s), *np.round(bx, 3), float(c))
+                        for s, bx, c in zip(rs[b][vr], rb[b][vr], rc[b][vr]))
+        palset = sorted((float(s), *np.round(bx, 3), float(c))
+                        for s, bx, c in zip(ps[b][vp], pb[b][vp], pc[b][vp]))
+        assert refset == palset

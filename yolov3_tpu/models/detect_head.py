@@ -174,7 +174,7 @@ def _decode_topk_scales(feats, anchors, strides, k_per_scale, conf_thres, with_o
 
 
 def decode_topk_nhwc(feats_raw, anchors, strides, k_per_scale=(256, 128, 64), conf_thres=0.25,
-                     with_overflow=False):
+                     with_overflow=False, use_pallas=False):
     """`decode_topk_candidates` for RAW NHWC head outputs ((bs, ny, nx, na*no),
     compute dtype — see Detect(raw=True)).
 
@@ -184,7 +184,23 @@ def decode_topk_nhwc(feats_raw, anchors, strides, k_per_scale=(256, 128, 64), co
     semantics as the reference (conf = obj * cls_max, both > conf_thres,
     utils/general.py:630-714). `with_overflow=True` appends a (bs,) bool
     truncation flag (see decode_topk_candidates).
+
+    `use_pallas=True` routes the score pass through the one-read Pallas
+    kernel (ops/score_pallas.py). MEASURED REJECTION — keep this off: on TPU
+    at bs128/640 the kernel runs 28.3 ms/batch vs 6.25 ms for the XLA score
+    pass (scripts/decode_probe.py, docs/PERF.md round-5); the per-anchor
+    lane-offset slices of the 255-lane minor dim serialize on the VPU. Kept
+    in-tree as the measured baseline for future layout experiments. TPU-only;
+    silently falls back to the XLA path elsewhere. "interpret" runs the
+    kernel in Pallas interpret mode (CPU parity tests).
     """
+    if use_pallas is True and jax.default_backend() != "tpu":
+        use_pallas = False
+    if use_pallas:
+        return _decode_topk_nhwc_pallas(feats_raw, anchors, strides, k_per_scale,
+                                        conf_thres, with_overflow,
+                                        interpret=use_pallas == "interpret")
+
     def unflatten(top_i, na, ny, nx):
         # flat index runs in (y, x, anchor) order — natural NHWC memory order
         return top_i % na, top_i // (na * nx), (top_i // na) % nx
@@ -196,6 +212,63 @@ def decode_topk_nhwc(feats_raw, anchors, strides, k_per_scale=(256, 128, 64), co
 
     return _decode_topk_scales(feats_raw, anchors, strides, k_per_scale, conf_thres,
                                with_overflow, to_flat, unflatten)
+
+
+def _decode_topk_nhwc_pallas(feats_raw, anchors, strides, k_per_scale, conf_thres,
+                             with_overflow, interpret=False):
+    """Pallas-backed decode: same candidates/boxes as the XLA path, but the
+    score+mask+argmax pass is ONE read of the head tensor (see
+    ops/score_pallas.py). The kernel's flat candidate order is (a, y, x)
+    (anchor-major, chosen so the top_k input keeps a wide minor dim); the
+    box/class gathers re-index into the natural (y, x, a) flat layout."""
+    from yolov3_tpu.ops.score_pallas import masked_scores_pallas
+
+    anchors = jnp.asarray(anchors, dtype=jnp.float32).reshape(len(feats_raw), -1, 2)
+    na = anchors.shape[1]
+    boxes_all, scores_all, cls_all = [], [], []
+    overflow = None
+    for i, f in enumerate(feats_raw):
+        bs, ny, nx, ch = f.shape
+        no = ch // na
+        k = min(int(k_per_scale[min(i, len(k_per_scale) - 1)]), na * ny * nx)
+
+        scores2, args2 = masked_scores_pallas(
+            f.reshape(bs, ny * nx, ch), na, no, float(conf_thres), interpret=interpret
+        )  # (bs, na, ny*nx) f32 / int32
+        masked = scores2.reshape(bs, na * ny * nx)  # (a, y, x) flat order
+        if with_overflow:
+            ov = jnp.sum(masked > 0.0, axis=1) > k  # valid <=> score stored (> conf >= 0)
+            overflow = ov if overflow is None else overflow | ov
+
+        top_s, top_i = jax.lax.top_k(masked, k)  # (bs, k)
+        a_idx = top_i // (ny * nx)
+        yx = top_i % (ny * nx)
+        y_idx = yx // nx
+        x_idx = yx % nx
+
+        flat = f.reshape(bs, ny * nx * na, no)  # free: (y, x, a) flat order
+        txywh = jnp.take_along_axis(flat[..., :4], (yx * na + a_idx)[..., None], axis=1)
+        sig = nn.sigmoid(txywh.astype(jnp.float32))
+        gx = x_idx.astype(jnp.float32) - 0.5
+        gy = y_idx.astype(jnp.float32) - 0.5
+        cx = (sig[..., 0] * 2 + gx) * strides[i]
+        cy = (sig[..., 1] * 2 + gy) * strides[i]
+        awh = anchors[i][a_idx]  # (bs, k, 2)
+        w = (sig[..., 2] * 2) ** 2 * awh[..., 0]
+        h = (sig[..., 3] * 2) ** 2 * awh[..., 1]
+        boxes = jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=-1)
+
+        boxes_all.append(boxes)
+        scores_all.append(top_s)
+        cls_all.append(jnp.take_along_axis(args2.reshape(bs, na * ny * nx), top_i,
+                                           axis=1).astype(jnp.float32))
+
+    out = (
+        jnp.concatenate(boxes_all, axis=1),
+        jnp.concatenate(scores_all, axis=1),
+        jnp.concatenate(cls_all, axis=1),
+    )
+    return out + (overflow,) if with_overflow else out
 
 
 def decode_predictions(feats, anchors, strides):
