@@ -268,3 +268,74 @@ def test_pallas_score_decode_matches_xla_decode():
         palset = sorted((float(s), *np.round(bx, 3), float(c))
                         for s, bx, c in zip(ps[b][vp], pb[b][vp], pc[b][vp]))
         assert refset == palset
+
+
+def test_padded_head_decode_matches_default_path():
+    """serving_module(pad_lanes=128) + decode_topk_nhwc(padded_lanes=128) must
+    yield the same candidate set (boxes/scores/classes/overflow) as the
+    default raw path — the padded layout (Detect.raw_pad) is a pure TPU
+    layout change sharing the SAME variables."""
+    from yolov3_tpu.models.detect_head import decode_topk_nhwc
+    from yolov3_tpu.models.detection import DetectionModel
+
+    model = DetectionModel.from_config("yolov3-tiny", imgsz=64)
+
+    def bump(path, v):
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        return v + 6.0 if ("bias" in name and ("m0" in name or "m1" in name)) else v
+
+    model = model.replace_variables({
+        "params": jax.tree_util.tree_map_with_path(bump, model.variables["params"]),
+        "batch_stats": model.variables["batch_stats"],
+    })
+    x = jnp.asarray(np.random.default_rng(7).integers(0, 255, (2, 64, 64, 3), np.uint8))
+    xf = x.astype(jnp.float32) / 255.0
+
+    raw = model.serving_module().apply(model.variables, xf, train=False)
+    padded = model.serving_module(pad_lanes=128).apply(model.variables, xf, train=False)
+    for r, p in zip(raw, padded):
+        assert p.shape[-1] == 3 * 128 and r.shape[:-1] == p.shape[:-1]
+
+    anchors, strides = model.anchors_px, model.spec.strides
+    ref = decode_topk_nhwc(raw, anchors, strides, (16, 8), 0.05, with_overflow=True)
+    pad = decode_topk_nhwc(padded, anchors, strides, (16, 8), 0.05, with_overflow=True,
+                           padded_lanes=128)
+    rb, rs, rc, rov = [np.asarray(a) for a in ref]
+    pb, ps, pc, pov = [np.asarray(a) for a in pad]
+    np.testing.assert_array_equal(rov, pov)
+    for b in range(2):
+        vr, vp = rs[b] > 0, ps[b] > 0
+        assert vr.sum() == vp.sum() > 0
+        o1, o2 = np.argsort(-rs[b][vr]), np.argsort(-ps[b][vp])
+        np.testing.assert_allclose(rs[b][vr][o1], ps[b][vp][o2], rtol=1e-5)
+        np.testing.assert_allclose(rb[b][vr][o1], pb[b][vp][o2], rtol=1e-4, atol=1e-3)
+        np.testing.assert_array_equal(rc[b][vr][o1], pc[b][vp][o2])
+
+
+def test_padded_head_overflow_and_dense_scene():
+    """Padded-layout decode raises the same overflow flag on a dense scene
+    and keeps exact score parity on the sparse image (mirrors
+    test_overflow_flag_dense_scene_80x80 through the padded route)."""
+    from yolov3_tpu.models.detect_head import decode_topk_nhwc
+
+    rng = np.random.default_rng(0)
+    nc, na, pad = 80, 3, 128
+    raw = rng.normal(-8.0, 0.5, size=(2, 80, 80, na * (nc + 5))).astype(np.float32)
+    flat = raw.reshape(2, -1, nc + 5)
+    for b, count in [(0, 400), (1, 20)]:
+        idx = rng.choice(flat.shape[1], size=count, replace=False)
+        flat[b, idx, 4] = 4.0
+        flat[b, idx, 5 + rng.integers(0, nc)] = 5.0
+    padded = np.full((2, 80, 80, na * pad), -20.0, np.float32)
+    for a in range(na):
+        padded[..., a * pad : a * pad + nc + 5] = raw[..., a * (nc + 5) : (a + 1) * (nc + 5)]
+
+    anchors = ANCHORS[:1]
+    ref = decode_topk_nhwc([jnp.asarray(raw)], anchors, STRIDES[:1], (256,), 0.25,
+                           with_overflow=True)
+    got = decode_topk_nhwc([jnp.asarray(padded)], anchors, STRIDES[:1], (256,), 0.25,
+                           with_overflow=True, padded_lanes=pad)
+    np.testing.assert_array_equal(np.asarray(ref[3]), np.asarray(got[3]))
+    assert np.asarray(got[3])[0] and not np.asarray(got[3])[1]
+    rs, gs = np.asarray(ref[1][1]), np.asarray(got[1][1])
+    np.testing.assert_allclose(np.sort(rs[rs > 0]), np.sort(gs[gs > 0]), rtol=1e-5)

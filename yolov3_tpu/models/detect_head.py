@@ -34,12 +34,52 @@ def detect_bias_init(nc: int, na: int, stride: float, imgsz: float = 640.0):
     return init
 
 
+class _PadHeadConv(nn.Module):
+    """1x1 head conv that emits a 128-lane-aligned padded layout.
+
+    Declares the SAME params as nn.Conv (kernel (1,1,cin,na*no), bias
+    (na*no,)) so checkpoints are interchangeable with the unpadded head, but
+    scatters anchor a's `no` output channels to lanes [a*pad, a*pad+no) at
+    apply time (weight transform is KB-scale, folded by XLA). The pad lanes
+    carry bias -20 (sigmoid ~ 0) and are never read by the padded decode.
+    Rationale: the (na, no=85) split of the 255-lane minor dim is not
+    tile-aligned on TPU, costing the decode score pass ~9 HBM passes
+    (docs/PERF.md round-5, scripts/aligned_decode_probe.py)."""
+
+    na: int
+    no: int
+    pad: int
+    bias_init: Any
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, cin, self.na * self.no))
+        bias = self.param("bias", self.bias_init, (self.na * self.no,))
+        k = kernel.reshape(1, 1, cin, self.na, self.no)
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, 0), (0, self.pad - self.no)))
+        k = k.reshape(1, 1, cin, self.na * self.pad)
+        b = jnp.pad(bias.reshape(self.na, self.no), ((0, 0), (0, self.pad - self.no)),
+                    constant_values=-20.0).reshape(self.na * self.pad)
+        x, k, b = nn.dtypes.promote_dtype(x, k, b, dtype=self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x, k, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + b
+
+
 class Detect(nn.Module):
     """Per-scale 1x1 output convs; returns raw feature maps (bs, na, ny, nx, no).
 
     Channel order within the last conv matches the reference's
     view(bs, na, no, ny, nx) split (yolo.py:98): channel = a * no + o, so the
     .pt weight converter can reshape reference kernels directly.
+
+    `raw_pad > 0` (serving fast path only, implies raw): emit
+    (bs, ny, nx, na*raw_pad) with anchor a's channels at lanes
+    [a*raw_pad, a*raw_pad+no) — the tile-aligned layout consumed by
+    decode_topk_nhwc(padded_lanes=raw_pad). Param tree is unchanged.
     """
 
     nc: int
@@ -47,12 +87,21 @@ class Detect(nn.Module):
     strides: tuple
     dtype: Any = jnp.float32
     raw: bool = False
+    raw_pad: int = 0
 
     @nn.compact
     def __call__(self, xs, train: bool = False):
         no = self.nc + 5
         outs = []
         for i, x in enumerate(xs):
+            if self.raw_pad:
+                assert self.raw and self.raw_pad >= no, (self.raw, self.raw_pad, no)
+                outs.append(_PadHeadConv(
+                    na=self.na, no=no, pad=self.raw_pad,
+                    bias_init=detect_bias_init(self.nc, self.na, self.strides[i]),
+                    dtype=self.dtype, name=f"m{i}",
+                )(x))
+                continue
             x = nn.Conv(
                 self.na * no,
                 (1, 1),
@@ -174,7 +223,7 @@ def _decode_topk_scales(feats, anchors, strides, k_per_scale, conf_thres, with_o
 
 
 def decode_topk_nhwc(feats_raw, anchors, strides, k_per_scale=(256, 128, 64), conf_thres=0.25,
-                     with_overflow=False, use_pallas=False):
+                     with_overflow=False, use_pallas=False, padded_lanes=0):
     """`decode_topk_candidates` for RAW NHWC head outputs ((bs, ny, nx, na*no),
     compute dtype — see Detect(raw=True)).
 
@@ -193,7 +242,18 @@ def decode_topk_nhwc(feats_raw, anchors, strides, k_per_scale=(256, 128, 64), co
     in-tree as the measured baseline for future layout experiments. TPU-only;
     silently falls back to the XLA path elsewhere. "interpret" runs the
     kernel in Pallas interpret mode (CPU parity tests).
+
+    `padded_lanes=P` (e.g. 128) consumes the tile-aligned padded layout from
+    Detect(raw_pad=P): (bs, ny, nx, na*P) with anchor a's no outputs at lanes
+    [a*P, a*P+no). The (na, P) split of the minor dim is then tile-aligned —
+    one HBM pass instead of the relayout's ~9 — and the class argmax is
+    deferred to the k gathered rows. Same candidate flat order ((y, x, a))
+    and semantics as the default path.
     """
+    if padded_lanes:
+        assert not use_pallas
+        return _decode_topk_nhwc_padded(feats_raw, anchors, strides, k_per_scale,
+                                        conf_thres, with_overflow, int(padded_lanes))
     if use_pallas is True and jax.default_backend() != "tpu":
         use_pallas = False
     if use_pallas:
@@ -212,6 +272,70 @@ def decode_topk_nhwc(feats_raw, anchors, strides, k_per_scale=(256, 128, 64), co
 
     return _decode_topk_scales(feats_raw, anchors, strides, k_per_scale, conf_thres,
                                with_overflow, to_flat, unflatten)
+
+
+def _decode_topk_nhwc_padded(feats_raw, anchors, strides, k_per_scale, conf_thres,
+                             with_overflow, pad):
+    """Decode from the 128-lane-aligned padded head layout (Detect(raw_pad)).
+
+    Two departures from `_decode_topk_scales`, both enabled by the layout:
+    the (bs, M, na, pad) view is a free tile-aligned reshape (no relayout
+    pass), and the class argmax runs only on the k gathered rows instead of
+    all M*na (it is NOT free when the max can't fuse with it). Candidate
+    semantics and flat order ((y, x, a)) match the default path exactly."""
+    anchors = jnp.asarray(anchors, dtype=jnp.float32).reshape(len(feats_raw), -1, 2)
+    na = anchors.shape[1]
+    boxes_all, scores_all, cls_all = [], [], []
+    overflow = None
+    for i, f in enumerate(feats_raw):
+        bs, ny, nx, ch = f.shape
+        assert ch % pad == 0 and ch // pad == na, (f.shape, pad, na)
+        m = ny * nx
+        k = min(int(k_per_scale[min(i, len(k_per_scale) - 1)]), na * m)
+
+        v = f.reshape(bs, m, na, pad)  # free tile-aligned view
+        obj_sig = nn.sigmoid(v[..., 4].astype(jnp.float32))  # (bs, M, na)
+        # pad lanes hold -20 logits (sigmoid ~ 2e-9): they can never win the
+        # max over real class logits from a trained/bias-initialized head,
+        # and even if every real logit were below -20 the resulting score
+        # cannot pass conf_thres > 0 — so reducing over [5:pad) is exact.
+        cls_logit_max = jnp.max(v[..., 5:], axis=-1).astype(jnp.float32)
+        score = obj_sig * nn.sigmoid(cls_logit_max)
+        valid = (score > conf_thres) & (obj_sig > conf_thres)
+        masked = jnp.where(valid, score, -1.0).reshape(bs, m * na)  # (y,x,a) order
+        if with_overflow:
+            ov = jnp.sum(valid.reshape(bs, m * na), axis=1) > k
+            overflow = ov if overflow is None else overflow | ov
+
+        top_s, top_i = jax.lax.top_k(masked, k)  # (bs, k)
+        a_idx = top_i % na
+        yx = top_i // na
+        y_idx = yx // nx
+        x_idx = yx % nx
+
+        flat = f.reshape(bs, m * na, pad)  # free: row r = (y, x, a) flat index
+        sel = jnp.take_along_axis(flat, top_i[..., None], axis=1)  # (bs, k, pad)
+        sig = nn.sigmoid(sel[..., :4].astype(jnp.float32))
+        carg = jnp.argmax(sel[..., 5:], axis=-1)  # deferred to the k rows
+        gx = x_idx.astype(jnp.float32) - 0.5
+        gy = y_idx.astype(jnp.float32) - 0.5
+        cx = (sig[..., 0] * 2 + gx) * strides[i]
+        cy = (sig[..., 1] * 2 + gy) * strides[i]
+        awh = anchors[i][a_idx]  # (bs, k, 2)
+        w = (sig[..., 2] * 2) ** 2 * awh[..., 0]
+        h = (sig[..., 3] * 2) ** 2 * awh[..., 1]
+        boxes = jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=-1)
+
+        boxes_all.append(boxes)
+        scores_all.append(top_s)
+        cls_all.append(carg.astype(jnp.float32))
+
+    out = (
+        jnp.concatenate(boxes_all, axis=1),
+        jnp.concatenate(scores_all, axis=1),
+        jnp.concatenate(cls_all, axis=1),
+    )
+    return out + (overflow,) if with_overflow else out
 
 
 def _decode_topk_nhwc_pallas(feats_raw, anchors, strides, k_per_scale, conf_thres,

@@ -46,6 +46,7 @@ class YOLOGraph(nn.Module):
     dtype: Any = jnp.float32
     fused: bool = False
     head_raw: bool = False  # Detect returns raw NHWC conv outputs (serving fast path)
+    head_pad: int = 0  # >0: 128-lane-aligned padded head layout (Detect raw_pad; TPU decode)
     remat: bool = False  # segmented jax.checkpoint: backward recomputes one segment at a time
     remat_segment: int = 6  # layers per checkpoint segment (saved state = segment boundaries)
     remat_until: int = -1  # only remat layers with index < this; -1 = whole body.
@@ -173,7 +174,7 @@ class YOLOGraph(nn.Module):
         feats = [out if j == prev_i else y[j] for j in detect.f]
         return Detect(
             nc=spec.nc, na=spec.na, strides=spec.strides, dtype=self.dtype,
-            raw=self.head_raw, name=f"l{detect.i}"
+            raw=self.head_raw, raw_pad=self.head_pad, name=f"l{detect.i}"
         )(feats, train)
 
 
@@ -258,11 +259,14 @@ class DetectionModel:
     def replace_variables(self, variables):
         return DetectionModel(self.spec, variables, self.dtype, self.names, self.fused, self.s2d_stem)
 
-    def serving_module(self):
+    def serving_module(self, pad_lanes=0):
         """The same graph with a raw-NHWC Detect head for the fused serving
-        path (decode_topk_nhwc). Shares this handle's variables unchanged."""
+        path (decode_topk_nhwc). Shares this handle's variables unchanged.
+
+        `pad_lanes=128` emits the tile-aligned padded head layout (see
+        Detect.raw_pad); pair with decode_topk_nhwc(padded_lanes=128)."""
         return YOLOGraph(spec=self.spec, dtype=self.dtype, fused=self.fused, head_raw=True,
-                         s2d_stem=self.s2d_stem)
+                         head_pad=pad_lanes, s2d_stem=self.s2d_stem)
 
     def fuse(self):
         """Fold Conv+BN for inference (reference fuse(), yolo.py:163-172).
