@@ -427,3 +427,57 @@ def test_clearml_hpo_analog(monkeypatch):
     assert kw["objective_metric_series"] == "mAP_0.5" and kw["objective_metric_sign"] == "max"
     assert calls["started"] == "local" and calls["waited"] and calls["stopped"]
     assert calls["task"]["task_type"] == "optimizer"
+
+
+def test_wandb_init_plumbs_project_name_entity_resume(monkeypatch, tmp_path):
+    """Reference wandb_utils.py:64-73: project from --project (stem), name
+    from --name unless the default "exp", resume by run id with
+    resume="allow"."""
+    mod, run = _install_fake_wandb(monkeypatch)
+    seen = {}
+
+    def init(**kw):
+        seen.update(kw)
+        return run
+
+    mod.init = init
+    monkeypatch.setenv("WANDB_API_KEY", "x")
+    from yolov3_tpu.utils.loggers import Loggers
+
+    opt = types.SimpleNamespace(project="runs/custom-proj", name="run7",
+                                entity="team", resume="wandb-run://r42")
+    lg = Loggers(save_dir=tmp_path, include=("wandb",), opt=opt)
+    assert lg.wandb is run
+    assert seen["project"] == "custom-proj"
+    assert seen["name"] == "run7"
+    assert seen["entity"] == "team"
+    assert seen["id"] == "r42" and seen["resume"] == "allow"
+
+    # defaults: project "runs/train" -> yolov3_tpu, name "exp" -> None
+    seen.clear()
+    opt = types.SimpleNamespace(project="runs/train", name="exp", entity=None, resume=False)
+    Loggers(save_dir=tmp_path, include=("wandb",), opt=opt)
+    assert seen["project"] == "yolov3_tpu" and seen["name"] is None and seen["id"] is None
+
+
+def test_wandb_failure_disables_logger_and_training_proceeds(monkeypatch, tmp_path):
+    """Reference wandb_utils.py:137-151 end_epoch: a wandb error mid-training
+    must warn, finish the run, and disable the logger — subsequent epochs
+    log nothing and raise nothing."""
+    _, run = _install_fake_wandb(monkeypatch)
+    monkeypatch.setenv("WANDB_API_KEY", "x")
+    from yolov3_tpu.utils.loggers import Loggers
+
+    lg = Loggers(save_dir=tmp_path, include=("csv", "wandb"))
+    assert lg.wandb is run
+
+    def boom(d):
+        raise RuntimeError("network down")
+
+    run.log = boom
+    vals = list(range(len(lg.keys)))
+    lg.on_fit_epoch_end(vals, epoch=0)  # must NOT raise
+    assert lg.wandb is None and getattr(run, "finished", False)
+    lg.on_fit_epoch_end(vals, epoch=1)  # logger stays off, still no raise
+    # csv kept recording through both epochs
+    assert (tmp_path / "results.csv").read_text().count("\n") == 3

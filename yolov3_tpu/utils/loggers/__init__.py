@@ -55,7 +55,23 @@ class Loggers:
             try:
                 import wandb
 
-                self.wandb = wandb.init(project="yolov3_tpu", config={"opt": opt, "hyp": hyp})
+                # project/name/entity/resume plumbing per reference
+                # wandb_utils.py:64-73: project from --project (stem unless the
+                # default), name from --name unless the default "exp", resume
+                # by run id ("wandb-run://<id>" in --resume or WANDB_RUN_ID).
+                project = getattr(opt, "project", None)
+                project = Path(project).stem if project and Path(project).stem not in ("train", "runs") else "yolov3_tpu"
+                name = getattr(opt, "name", None)
+                run_id = os.environ.get("WANDB_RUN_ID")
+                resume = getattr(opt, "resume", None)
+                if isinstance(resume, str) and resume.startswith("wandb-run://"):
+                    run_id = resume[len("wandb-run://"):]
+                self.wandb = wandb.init(
+                    project=project, entity=getattr(opt, "entity", None),
+                    name=None if name in (None, "exp") else name,
+                    id=run_id, resume="allow", allow_val_change=True,
+                    config={"opt": opt, "hyp": hyp},
+                )
             except Exception:  # noqa: BLE001
                 self.wandb = None
         if "clearml" in include:
@@ -115,7 +131,7 @@ class Loggers:
             for k, v in x.items():
                 self.tb.add_scalar(k, float(v), epoch)
         if self.wandb:
-            self.wandb.log({**x, "epoch": epoch})
+            self._wandb_log({**x, "epoch": epoch})
         if self.comet:
             self.comet.log_metrics(x, epoch=epoch)
 
@@ -235,6 +251,23 @@ class Loggers:
             self.tb.flush()
         if self.wandb:
             self.wandb.finish()
+
+    def _wandb_log(self, payload):
+        """Commit to W&B with the reference's failure semantics
+        (wandb_utils.py:137-151 end_epoch): on any wandb error, warn, finish
+        the run, and DISABLE the logger — training proceeds uninterrupted
+        instead of failing or retrying a dead connection every epoch."""
+        try:
+            self.wandb.log(payload)
+        except Exception as e:  # noqa: BLE001
+            LOGGER.warning(
+                f"An error occurred in wandb; training will proceed without it. {e}"
+            )
+            try:
+                self.wandb.finish()
+            except Exception:  # noqa: BLE001
+                pass
+            self.wandb = None
 
     def _log_image_files(self, files, name, step):
         """Push image files to TB/W&B/Comet (reference TB image support)."""
