@@ -64,9 +64,15 @@ def check_dataset(data, autodownload=True):
 
 
 def _run_download(s, root: Path):
-    """Execute a download recipe: http(s) URL (fetch+unzip) or shell command."""
+    """Execute a download recipe: `converter://<name>` (an in-tree registered
+    preparer, data/converters.py — the safe form of the reference's YAML-exec
+    recipes), an http(s) URL (fetch+unzip), or a shell command."""
     root.parent.mkdir(parents=True, exist_ok=True)
-    if isinstance(s, str) and s.startswith("http"):
+    if isinstance(s, str) and s.startswith("converter://"):
+        from yolov3_tpu.data.converters import prepare
+
+        prepare(s[len("converter://"):], root)
+    elif isinstance(s, str) and s.startswith("http"):
         fname = root.parent / Path(s).name
         LOGGER.info(f"Downloading {s} -> {fname}")
         import urllib.request
