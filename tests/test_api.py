@@ -49,6 +49,15 @@ def test_autoshape_ndarray_and_path(micro_model, tmp_path, rng):
     assert list(df.columns[:6]) == ["xmin", "ymin", "xmax", "ymax", "confidence", "class"]
     rendered = results.render()
     assert rendered[0].shape == im.shape
+    # tolist(): per-image Detections views (reference common.py:1000-1007)
+    singles = results.tolist()
+    assert len(singles) == 2 and all(len(s) == 1 for s in singles)
+    assert np.array_equal(singles[0].xyxy[0], results.xyxy[0])
+    # labels=False renders boxes without text; shape must be preserved
+    unlabeled = results.render(labels=False)
+    assert unlabeled[0].shape == im.shape
+    # show() must not raise in a headless environment (warns and continues)
+    results.show()
 
 
 def test_hub_load(micro_model):

@@ -93,7 +93,9 @@ class AutoShape:
                 if im.shape[0] < 5 and im.ndim == 3:  # CHW -> HWC
                     im = im.transpose(1, 2, 0)
                 im = im[..., :3]
-                files.append(Path(f).name or f"image{i}.jpg")
+                # always keep an image suffix so Detections.save()'s imwrite
+                # has a writable extension (reference common.py:792)
+                files.append(Path(Path(f).name or f"image{i}").with_suffix(".jpg").name)
                 shape0.append(im.shape[:2])
                 loaded.append(im)
             # common letterbox shape (max over batch, snapped to stride)
@@ -195,7 +197,7 @@ class Detections:
             setattr(out, attr, dfs)
         return out
 
-    def _run(self, pprint=False, show=False, save=False, crop=False, render=False, save_dir=Path("")):
+    def _run(self, pprint=False, show=False, save=False, crop=False, render=False, labels=True, save_dir=Path("")):
         s = ""
         crops = []
         for i, (im, pred) in enumerate(zip(self.ims, self.pred)):
@@ -217,13 +219,20 @@ class Detections:
                             }
                         )
                     else:
-                        annotator.box_label(box, label, color=colors(cls, True))
+                        annotator.box_label(box, label if labels else "", color=colors(cls, True))
                 result = annotator.result()[:, :, ::-1]
             else:
                 s += "(no detections)"
                 result = im
             if render:
                 self.ims[i] = result
+            if show:
+                try:
+                    from PIL import Image
+
+                    Image.fromarray(result).show(self.files[i])
+                except Exception as e:  # noqa: BLE001 — headless environments
+                    LOGGER.warning(f"show() failed: {e}")
             if save:
                 import cv2
 
@@ -237,15 +246,26 @@ class Detections:
     def print(self):
         return self._run(pprint=True)
 
-    def save(self, save_dir="runs/detect/exp", exist_ok=False):
-        return self._run(save=True, save_dir=increment_path(save_dir, exist_ok, mkdir=True))
+    def show(self, labels=True):
+        return self._run(show=True, labels=labels)
+
+    def save(self, labels=True, save_dir="runs/detect/exp", exist_ok=False):
+        return self._run(save=True, labels=labels, save_dir=increment_path(save_dir, exist_ok, mkdir=True))
 
     def crop(self, save=True, save_dir="runs/detect/exp", exist_ok=False):
         return self._run(crop=True, save=save, save_dir=increment_path(save_dir, exist_ok, mkdir=True))
 
-    def render(self):
-        self._run(render=True)
+    def render(self, labels=True):
+        self._run(render=True, labels=labels)
         return self.ims
+
+    def tolist(self):
+        """Split into a list of single-image Detections (reference common.py:1000-1007)."""
+        return [
+            Detections([self.ims[i]], [self.pred[i]], [self.files[i]],
+                       self.times, self.names, self.s)
+            for i in range(self.n)
+        ]
 
     def __len__(self):
         return self.n
