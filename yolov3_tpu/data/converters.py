@@ -286,7 +286,7 @@ def objects365(root: Path):
                          dir=images, curl=True, delete=False, threads=8)
                 download([f"{base}/{split}/images/v2/patch{i}.tar.gz" for i in range(16, patches)],
                          dir=images, curl=True, delete=False, threads=8)
-        for f in images.rglob("*.jpg"):  # flatten patch dirs
+        for f in list(images.rglob("*.jpg")):  # flatten patch dirs (list(): we mutate the tree)
             if f.parent != images:
                 f.rename(images / f.name)
         a = json.loads(ann.read_text())
