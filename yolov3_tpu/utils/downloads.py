@@ -70,7 +70,12 @@ def download(urls, dir=".", unzip=True, delete=True, curl=False, threads=1, retr
                             check=True, capture_output=threads > 1)
                     else:
                         LOGGER.info(f"Downloading {url} to {f}...")
-                        urllib.request.urlretrieve(str(url), f)
+                        # urlretrieve has no timeout — a filtered network
+                        # would hang the preparer forever; stream with one.
+                        import shutil as _sh
+
+                        with urllib.request.urlopen(str(url), timeout=30) as r, open(f, "wb") as out:
+                            _sh.copyfileobj(r, out)
                     assert f.is_file() and f.stat().st_size > 0
                     break
                 except Exception as e:  # noqa: BLE001
