@@ -127,6 +127,22 @@ elif logger == 'TensorBoard':
         """# Train yolov3-tiny on COCO128 for 3 epochs
 !python -m yolov3_tpu.cli.train --imgsz 640 --batch-size 16 --epochs 3 --data coco128.yaml --cfg yolov3-tiny --weights yolov3-tiny.pt --cache ram"""
     ),
+    md(
+        """## Datasets
+
+Nine dataset YAMLs ship in `yolov3_tpu/data/`: COCO, COCO128, VOC, plus
+Argoverse, GlobalWheat2020, Objects365, SKU-110K, VisDrone and xView. Each
+YAML's `download:` recipe is either a shell script or a named in-tree
+converter (`converter://<name>` → `yolov3_tpu/data/converters.py`) that
+downloads the archives and converts the native annotations to YOLO labels —
+this framework never executes code embedded in data files. For your own
+data, point `train:`/`val:` at image dirs with YOLO-format `labels/`
+alongside."""
+    ),
+    code(
+        """# e.g. train on VisDrone — the converter:// recipe downloads + converts on first use
+!python -m yolov3_tpu.cli.train --imgsz 640 --batch-size 16 --epochs 3 --data VisDrone.yaml --cfg yolov3-tiny --weights yolov3-tiny.pt"""
+    ),
     md("""# 4. Visualize"""),
     md(
         """## Comet logging
