@@ -60,6 +60,20 @@ def test_ci_workflow_parses_and_matches_cli():
         assert f'"{flag}"' in syn
 
 
+def test_pyproject_packages_nonpython_runtime_files():
+    """The wheel must carry the C++ host-ops source (built at import via
+    ctypes), the dataset shell scripts the YAML recipes invoke, and the
+    sample images — a YAML-only package-data glob shipped a wheel whose
+    native module could not build (caught by installing the wheel to an
+    isolated target and driving it)."""
+    text = (REPO / "pyproject.toml").read_text()
+    m = re.search(r"^yolov3_tpu = \[(.*?)\]$", text, re.M | re.S)
+    assert m, "package-data stanza missing"
+    globs = m.group(1)
+    for pat in ("*.yaml", "*.cpp", "*.sh", "*.jpg"):
+        assert pat in globs, f"package-data must include {pat}"
+
+
 def test_dockerfiles_copy_real_paths_and_real_modules():
     for df in DOCKERFILES:
         text = df.read_text()
