@@ -481,3 +481,64 @@ def test_wandb_failure_disables_logger_and_training_proceeds(monkeypatch, tmp_pa
     lg.on_fit_epoch_end(vals, epoch=1)  # logger stays off, still no raise
     # csv kept recording through both epochs
     assert (tmp_path / "results.csv").read_text().count("\n") == 3
+
+
+def test_bbox_interval_gates_val_image_logging(monkeypatch, tmp_path):
+    """Reference wandb_utils.py:89-93: --bbox_interval -1 resolves to
+    epochs//10 and val bbox mosaics are only pushed on interval epochs."""
+    _, run = _install_fake_wandb(monkeypatch)
+    monkeypatch.setenv("WANDB_API_KEY", "x")
+    import cv2
+    import numpy as np
+
+    from yolov3_tpu.utils.loggers import Loggers
+
+    cv2.imwrite(str(tmp_path / "val_batch0_pred.jpg"),
+                np.zeros((4, 4, 3), np.uint8))
+    opt = types.SimpleNamespace(project="runs/train", name="exp", entity=None,
+                                resume=False, epochs=30, bbox_interval=-1)
+    lg = Loggers(save_dir=tmp_path, include=("csv", "wandb"), opt=opt)
+    assert lg.bbox_interval == 3
+    lg.on_val_end(epoch=0)  # (0+1) % 3 != 0 -> no push
+    assert not any("val_batch" in k for d in run.logged for k in d)
+    lg.on_val_end(epoch=2)  # (2+1) % 3 == 0 -> push
+    assert any("val_batch" in k for d in run.logged for k in d)
+    # short runs default to every epoch
+    opt.epochs, opt.bbox_interval = 5, -1
+    assert Loggers(save_dir=tmp_path, include=("csv",), opt=opt).bbox_interval == 1
+    # final push ignores the cadence
+    run.logged.clear()
+    lg.on_train_end()
+    assert any("val_batch" in k for d in run.logged for k in d)
+
+
+def test_upload_dataset_artifact(monkeypatch, tmp_path):
+    """--upload_dataset pushes a 'dataset' artifact with the resolved data
+    dict as metadata; the "val" string uploads only that split (reference
+    comet/__init__.py:344-363 semantics on the W&B sink)."""
+    _, run = _install_fake_wandb(monkeypatch)
+    monkeypatch.setenv("WANDB_API_KEY", "x")
+    from yolov3_tpu.utils.loggers import Loggers
+
+    (tmp_path / "images" / "train").mkdir(parents=True)
+    (tmp_path / "images" / "val").mkdir(parents=True)
+    data = {"path": tmp_path, "train": str(tmp_path / "images" / "train"),
+            "val": str(tmp_path / "images" / "val"), "names": {0: "x"}, "nc": 1}
+
+    opt = types.SimpleNamespace(project="runs/train", name="exp", entity=None,
+                                resume=False, epochs=3, bbox_interval=-1,
+                                upload_dataset="val")
+    lg = Loggers(save_dir=tmp_path, include=("csv", "wandb"), opt=opt)
+    lg.log_dataset_artifact(data)
+    (art, _), = run.artifacts
+    assert art.type == "dataset" and art.name == "yolov3-dataset"
+    assert art.metadata["nc"] == 1
+    assert [n for _, n in art.dirs] == ["val"], "only the val split uploads"
+
+    # upload_dataset=True uploads every split
+    run.artifacts.clear()
+    opt.upload_dataset = True
+    lg = Loggers(save_dir=tmp_path, include=("csv", "wandb"), opt=opt)
+    lg.log_dataset_artifact(data)
+    (art, _), = run.artifacts
+    assert sorted(n for _, n in art.dirs) == ["train", "val"]

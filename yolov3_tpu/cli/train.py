@@ -56,6 +56,11 @@ def parse_opt(known=False):
     parser.add_argument("--patience", type=int, default=100)
     parser.add_argument("--project", default="runs/train")
     parser.add_argument("--name", default="exp")
+    parser.add_argument("--entity", default=None, help="W&B entity (team/user)")
+    parser.add_argument("--upload_dataset", nargs="?", const=True, default=False,
+                        help='upload dataset as a tracker artifact ("val" = that split only)')
+    parser.add_argument("--bbox_interval", type=int, default=-1,
+                        help="bbox-image logging interval in epochs (-1: epochs//10)")
     parser.add_argument("--exist-ok", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--save-period", type=int, default=-1)
@@ -159,6 +164,9 @@ def main(opt=None):
         noplots=opt.noplots,
         label_smoothing=opt.label_smoothing,
         sync_bn=opt.sync_bn,
+        entity=opt.entity,
+        upload_dataset=opt.upload_dataset,
+        bbox_interval=opt.bbox_interval,
     )
 
 

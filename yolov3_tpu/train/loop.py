@@ -78,6 +78,9 @@ def train(
     label_smoothing=0.0,
     sync_bn=False,
     half=None,
+    entity=None,
+    upload_dataset=False,
+    bbox_interval=-1,
 ):
     """Train a detection model. Returns (best_fitness, results, save_dir)."""
     callbacks = callbacks or Callbacks()
@@ -100,14 +103,25 @@ def train(
     init_seeds(seed)
     loggers = None
     if jax.process_index() == 0:
+        import types
+
         from yolov3_tpu.utils.loggers import Loggers
 
-        loggers = Loggers(save_dir=save_dir, hyp=hyp, plots=not noplots)
+        # the opt view the third-party sinks read (reference train.py:176
+        # passes the full argparse namespace; these are the fields they use)
+        opt_ns = types.SimpleNamespace(
+            project=str(project), name=name, entity=entity, resume=resume,
+            epochs=epochs, bbox_interval=bbox_interval,
+            upload_dataset=upload_dataset,
+        )
+        loggers = Loggers(save_dir=save_dir, opt=opt_ns, hyp=hyp, plots=not noplots)
         loggers.attach(callbacks)
     callbacks.run("on_pretrain_routine_start")
 
     # data
     data_dict = check_dataset(data)
+    if loggers and upload_dataset:
+        loggers.log_dataset_artifact(data_dict)
     names = data_dict["names"]
     nc = 1 if single_cls else data_dict["nc"]
 

@@ -37,6 +37,12 @@ class Loggers:
         self.wandb = None
         self.clearml = None
         self.comet = None
+        # bbox-image logging cadence (reference wandb_utils.py:89-93 /
+        # comet __init__.py:139-142): -1 resolves to epochs//10 (min 1)
+        epochs = int(getattr(opt, "epochs", 0) or 0) if opt else 0
+        self.bbox_interval = int(getattr(opt, "bbox_interval", -1) or -1) if opt else -1
+        if self.bbox_interval == -1:
+            self.bbox_interval = max(1, epochs // 10) if epochs > 10 else 1
 
         if "tb" in include:
             try:
@@ -185,10 +191,14 @@ class Loggers:
             LOGGER.warning(f"train batch mosaic failed: {e}")
 
     def on_val_end(self, epoch=0):
-        """Forward val plot artifacts (PR/F1/confusion, batch mosaics) to image sinks."""
+        """Forward val plot artifacts (PR/F1/confusion, batch mosaics) to image
+        sinks. Per-epoch val bbox mosaics follow the --bbox_interval cadence
+        (reference wandb_utils.py:89-93: every Nth epoch, default epochs//10)
+        so long runs don't push hundreds of near-identical images."""
         files = [self.save_dir / n for n in
                  ("PR_curve.png", "F1_curve.png", "P_curve.png", "R_curve.png", "confusion_matrix.png")]
-        files += sorted(self.save_dir.glob("val_batch*.jpg"))
+        if self.bbox_interval > 0 and (epoch + 1) % self.bbox_interval == 0:
+            files += sorted(self.save_dir.glob("val_batch*.jpg"))
         files = [f for f in files if f.exists()]
         self._log_image_files(files, "Validation", epoch)
         if self.clearml and files:
@@ -244,13 +254,44 @@ class Loggers:
                 plot_results(results_csv)
             except Exception as e:  # noqa: BLE001
                 LOGGER.warning(f"results plot failed: {e}")
-        self._log_image_files(
-            [f for f in (self.save_dir / "results.png",) if f.exists()], "Results", 0
-        )
+        # final artifact push: results plot + last val mosaics regardless of
+        # the --bbox_interval cadence (reference loggers/__init__.py on_train_end)
+        finals = [self.save_dir / "results.png"] + sorted(self.save_dir.glob("val_batch*.jpg"))
+        self._log_image_files([f for f in finals if f.exists()], "Results", 0)
         if self.tb and hasattr(self.tb, "flush"):
             self.tb.flush()
         if self.wandb:
             self.wandb.finish()
+
+    def log_dataset_artifact(self, data_dict):
+        """--upload_dataset: push the dataset as a W&B artifact (reference
+        comet/__init__.py:344-363 / wandb dataset artifacts): metadata is the
+        resolved data dict; assets are the split dirs/listing files. A string
+        value (e.g. "val") uploads only that split."""
+        if not self.wandb:
+            return
+        which = getattr(self.opt, "upload_dataset", True) if self.opt else True
+        try:
+            import wandb
+
+            meta = {k: str(v) for k, v in data_dict.items() if k != "names"}
+            meta["nc"] = int(data_dict.get("nc", len(data_dict.get("names", {}))))
+            art = wandb.Artifact(
+                name=data_dict.get("dataset_name", "yolov3-dataset"),
+                type="dataset", metadata=meta)
+            for split in ("train", "val", "test"):
+                if isinstance(which, str) and split != which:
+                    continue
+                p = data_dict.get(split)
+                for one in (p if isinstance(p, list) else [p] if p else []):
+                    one = Path(one)
+                    if one.is_dir() and hasattr(art, "add_dir"):
+                        art.add_dir(str(one), name=split)
+                    elif one.is_file():
+                        art.add_file(str(one), name=f"{split}/{one.name}")
+            self.wandb.log_artifact(art)
+        except Exception as e:  # noqa: BLE001
+            LOGGER.warning(f"dataset artifact upload failed: {e}")
 
     def _wandb_log(self, payload):
         """Commit to W&B with the reference's failure semantics
